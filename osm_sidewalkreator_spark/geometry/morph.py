@@ -1,0 +1,563 @@
+"""Buffer / dissolve / morphological-close pipeline, pure NumPy.
+
+Reference semantics (headless Processing path, which produced the golden
+fixtures):
+
+- variable-distance round buffer of streets:
+  ``generate_buffer`` with expression ``("width"/2)+0.5``
+  (``sidewalk_generation_logic.py:297-320``, ``generic_functions.py:52-89``)
+- dissolve to one geometry (``generic_functions.py:183-186``)
+- morphological close: buffer(+curve_radius) then buffer(-curve_radius)
+  (``sidewalk_generation_logic.py:336-355``, curve radius 3 m)
+- sidewalk lines = boundaries of the *holes* of the closed union: the
+  reference computes big_buffer(10km) - dissolved, drops the biggest
+  (unbounded complement) polygon, and takes the remaining boundaries
+  (``sidewalk_generation_logic.py:359-430``); extracting interior holes
+  directly is equivalent and avoids the 10 km buffer.
+
+Representation: the round buffer of a segment set is the union of one
+*rectangle* per segment (offset ±r) and one *disc* per unique endpoint
+(radius r, discretized in a single canonical angular frame). Using a
+canonical frame means two discs coincide only if they are the same disc
+(deduped), which kills the near-coincident-chord degeneracies that
+per-segment caps would create at shared vertices.
+
+A region R = (∪ include-members) \\ (∪ exclude-members), all members
+convex, is extracted by noding all member boundary edges and keeping each
+noded piece iff its two sides disagree on membership in R. Side
+membership is decided combinatorially from signed depths into each
+member (strictly-inside / strictly-outside / on-boundary with a
+collinear interior-side test); exactly-coincident collinear boundaries
+owned by two members are resolved by an owner-priority tie-break so the
+edge is emitted exactly once. Kept edges are oriented with R's interior
+on the left and traced into rings: CCW rings are component exteriors, CW
+rings are holes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .gridhash import join_points_to_boxes
+from .noding import SNAP, dedup_undirected, node_segments
+
+EPS_ON = 5e-5    # on-boundary band, m (must exceed snap displacement)
+EPS_COLL = 1e-6  # sin(angle) floor for collinearity
+
+
+# ---------- convex member construction ----------
+
+def segment_rects(segs: np.ndarray, radii: np.ndarray) -> np.ndarray:
+    """(n,4) segments + (n,) radii -> (n,4,2) CCW offset rectangles."""
+    segs = np.asarray(segs, dtype=np.float64)
+    radii = np.broadcast_to(np.asarray(radii, dtype=np.float64), (len(segs),))
+    ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = bx - ax, by - ay
+    ln = np.hypot(dx, dy)
+    ln = np.where(ln == 0, 1.0, ln)
+    nx = -dy / ln * radii
+    ny = dx / ln * radii
+    return np.stack([
+        np.stack([ax - nx, ay - ny], axis=-1),
+        np.stack([bx - nx, by - ny], axis=-1),
+        np.stack([bx + nx, by + ny], axis=-1),
+        np.stack([ax + nx, ay + ny], axis=-1)], axis=1)
+
+
+def vertex_discs(centers: np.ndarray, radii: np.ndarray,
+                 nseg: int = 5, snap: float = SNAP) -> np.ndarray:
+    """Unique (center, radius) discs, canonical angular frame -> (m,V,2).
+
+    V = 4*nseg; sample angles are offset half a step so no vertex lies on
+    the axis directions (avoids vertex-on-line tangencies for the
+    axis-aligned geometry that dominates street grids).
+    """
+    centers = np.asarray(centers, dtype=np.float64)
+    radii = np.broadcast_to(np.asarray(radii, dtype=np.float64),
+                            (len(centers),))
+    key = np.column_stack([np.round(centers / snap),
+                           np.round(radii / snap)]).astype(np.int64)
+    kv = np.ascontiguousarray(key).view(np.dtype((np.void, 24))).ravel()
+    _, idx = np.unique(kv, return_index=True)
+    c = centers[idx]
+    r = radii[idx][:, None]
+    dtheta = np.pi / (2 * nseg)
+    ang = dtheta / 2 + np.arange(4 * nseg) * dtheta
+    return np.stack([c[:, 0:1] + r * np.cos(ang)[None, :],
+                     c[:, 1:2] + r * np.sin(ang)[None, :]], axis=-1)
+
+
+def buffer_members(segs: np.ndarray, radii: np.ndarray, nseg: int = 5,
+                   snap: float = SNAP) -> list[np.ndarray]:
+    """Round buffer of segments as convex members: [rects, discs]."""
+    segs = np.asarray(segs, dtype=np.float64)
+    radii = np.broadcast_to(np.asarray(radii, dtype=np.float64), (len(segs),))
+    ln = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+    ok = ln > 0
+    rects = segment_rects(segs[ok], radii[ok])
+    centers = np.vstack([segs[:, :2], segs[:, 2:]])
+    rr = np.concatenate([radii, radii])
+    discs = vertex_discs(centers, rr, nseg, snap)
+    return [rects, discs]
+
+
+# legacy convenience (kept for kernels that want a single convex hull of a
+# buffered segment, e.g. endpoint search regions)
+def stadium_vertices(segs: np.ndarray, radii: np.ndarray,
+                     nseg: int = 5) -> np.ndarray:
+    """(n,4) segments + (n,) radii -> (n,V,2) CCW stadium polygons."""
+    segs = np.asarray(segs, dtype=np.float64)
+    radii = np.broadcast_to(np.asarray(radii, dtype=np.float64), (len(segs),))
+    ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    phi = np.arctan2(by - ay, bx - ax)
+    k = np.arange(2 * nseg + 1)
+    dtheta = np.pi / (2 * nseg)
+    ang_b = phi[:, None] - np.pi / 2 + k[None, :] * dtheta
+    ang_a = phi[:, None] + np.pi / 2 + k[None, :] * dtheta
+    r = radii[:, None]
+    vb = np.stack([bx[:, None] + r * np.cos(ang_b),
+                   by[:, None] + r * np.sin(ang_b)], axis=-1)
+    va = np.stack([ax[:, None] + r * np.cos(ang_a),
+                   ay[:, None] + r * np.sin(ang_a)], axis=-1)
+    return np.concatenate([vb, va], axis=1)
+
+
+def polys_boundary_edges(polys: np.ndarray) -> np.ndarray:
+    """(S,V,2) polygons -> (S*V,4) closed boundary edges."""
+    nxt = np.roll(polys, -1, axis=1)
+    return np.concatenate([polys, nxt], axis=-1).reshape(-1, 4)
+
+
+def polys_bboxes(polys: np.ndarray) -> np.ndarray:
+    return np.column_stack([
+        polys[:, :, 0].min(axis=1), polys[:, :, 1].min(axis=1),
+        polys[:, :, 0].max(axis=1), polys[:, :, 1].max(axis=1)])
+
+
+class ConvexSet:
+    """A set of convex CCW polygons supporting batched signed-depth
+    queries with a grid-hash bbox prefilter."""
+
+    def __init__(self, polys: np.ndarray, snap: float = SNAP):
+        # snap to the noder's grid so candidate edges coincide exactly
+        # with member boundary lines (depth on own boundary ~ 0)
+        polys = np.asarray(polys, dtype=np.float64)
+        self.polys = np.round(polys / snap) * snap if len(polys) else polys
+        if len(self.polys):
+            self.boxes = polys_bboxes(self.polys)
+            spans = np.maximum(self.boxes[:, 2] - self.boxes[:, 0],
+                               self.boxes[:, 3] - self.boxes[:, 1])
+            self.bin = max(float(np.median(spans)), SNAP * 16)
+        else:
+            self.boxes = np.empty((0, 4))
+            self.bin = 1.0
+
+    def query(self, px: np.ndarray, py: np.ndarray, pad: float
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Candidate (point, poly) pairs with signed depth > -pad.
+
+        Returns (pi, si, depth, min_edge_dir). Depth positive inside."""
+        if len(self.polys) == 0 or len(px) == 0:
+            z = np.empty(0, np.int64)
+            return z, z, np.empty(0), np.empty((0, 2))
+        boxes = self.boxes.copy()
+        boxes[:, :2] -= pad
+        boxes[:, 2:] += pad
+        pi, si = join_points_to_boxes(px, py, boxes, self.bin)
+        if len(pi) == 0:
+            z = np.empty(0, np.int64)
+            return z, z, np.empty(0), np.empty((0, 2))
+        P = self.polys[si]                      # (T,V,2)
+        vx, vy = P[:, :, 0], P[:, :, 1]
+        ex = np.roll(vx, -1, axis=1) - vx
+        ey = np.roll(vy, -1, axis=1) - vy
+        el = np.hypot(ex, ey)
+        el = np.where(el == 0, 1.0, el)
+        qx = px[pi][:, None] - vx
+        qy = py[pi][:, None] - vy
+        d = (ex * qy - ey * qx) / el            # signed dist to edge lines
+        k = np.argmin(d, axis=1)
+        rows = np.arange(len(pi))
+        depth = d[rows, k]
+        keep = depth > -pad
+        pi, si, depth, k, rows = pi[keep], si[keep], depth[keep], k[keep], rows[keep]
+        mdir = np.column_stack([ex[rows, k] / el[rows, k],
+                                ey[rows, k] / el[rows, k]])
+        return pi, si, depth, mdir
+
+
+@dataclass
+class Layer:
+    """A convex-member set participating in a region definition."""
+    cset: ConvexSet
+    include: bool          # include (union) vs exclude (subtract)
+    candidate: bool        # do its boundary edges seed the noding?
+
+
+def region_boundary(layers: list[Layer], snap: float = SNAP,
+                    eps: float = EPS_ON) -> np.ndarray:
+    """Boundary of R = (∪ include-layers) \\ (∪ exclude-layers).
+
+    Candidate edges come from layers flagged ``candidate`` — they must
+    cover every line that can carry a piece of ∂R. Returns (m,4) directed
+    edges with R's interior on the left.
+
+    Tie-break: a noded piece lying on the coincident collinear boundary
+    of several members is kept only for the smallest owner key, so shared
+    boundaries are emitted exactly once (owner keys order candidate
+    layers first, which guarantees the kept copy is candidate-backed).
+    """
+    layers = sorted(layers, key=lambda l: not l.candidate)
+    cand_parts, owner_parts = [], []
+    for li, layer in enumerate(layers):
+        if not layer.candidate or len(layer.cset.polys) == 0:
+            continue
+        polys = layer.cset.polys
+        edges = polys_boundary_edges(polys)
+        keys = (np.int64(li) << 32) + np.repeat(
+            np.arange(len(polys), dtype=np.int64), polys.shape[1])
+        cand_parts.append(edges)
+        owner_parts.append(keys)
+    if not cand_parts:
+        return np.empty((0, 4))
+    cand = np.concatenate(cand_parts)
+    owner = np.concatenate(owner_parts)
+
+    # prune: a candidate edge strictly inside an exclude member — or an
+    # include-owned edge strictly inside an include member — can never
+    # carry a piece of ∂R. Convexity gives the bound depth(mid) > len/2.
+    cmx = (cand[:, 0] + cand[:, 2]) / 2
+    cmy = (cand[:, 1] + cand[:, 3]) / 2
+    ch = np.hypot(cand[:, 2] - cand[:, 0], cand[:, 3] - cand[:, 1]) / 2
+    n_inc = sum(1 for l in layers if l.candidate and l.include)
+    inc_owned = owner < (np.int64(n_inc) << 32)
+    drop = np.zeros(len(cand), dtype=bool)
+    for layer in layers:
+        pi, _si, depth, _mdir = layer.cset.query(cmx, cmy, pad=0.0)
+        if len(pi) == 0:
+            continue
+        deep = depth > ch[pi] + eps
+        if layer.include:
+            hit = pi[deep][inc_owned[pi[deep]]]
+        else:
+            hit = pi[deep]
+        drop[hit] = True
+    # own polygon never strictly contains its own boundary edge (depth 0),
+    # so no self-exemption is needed.
+    cand = cand[~drop]
+    owner = owner[~drop]
+
+    noded, parent = node_segments(cand, snap)
+    noded, parent = dedup_undirected(noded, parent, snap)
+    if len(noded) == 0:
+        return noded
+    own = owner[parent]
+    mx = (noded[:, 0] + noded[:, 2]) / 2
+    my = (noded[:, 1] + noded[:, 3]) / 2
+    dx = noded[:, 2] - noded[:, 0]
+    dy = noded[:, 3] - noded[:, 1]
+    ln = np.hypot(dx, dy)
+    ux, uy = dx / ln, dy / ln
+
+    n = len(noded)
+    inc_l = np.zeros(n, dtype=bool)
+    inc_r = np.zeros(n, dtype=bool)
+    exc_l = np.zeros(n, dtype=bool)
+    exc_r = np.zeros(n, dtype=bool)
+    defer = np.zeros(n, dtype=bool)
+    for li, layer in enumerate(layers):
+        pi, si, depth, mdir = layer.cset.query(mx, my, pad=eps)
+        if len(pi) == 0:
+            continue
+        mkey = (np.int64(li) << 32) + si
+        left = inc_l if layer.include else exc_l
+        right = inc_r if layer.include else exc_r
+        inside = depth > eps
+        np.logical_or.at(left, pi[inside], True)
+        np.logical_or.at(right, pi[inside], True)
+        band = ~inside & (depth >= -eps)
+        if band.any():
+            bi = pi[band]
+            bdir = mdir[band]
+            cross = ux[bi] * bdir[:, 1] - uy[bi] * bdir[:, 0]
+            dot = ux[bi] * bdir[:, 0] + uy[bi] * bdir[:, 1]
+            # collinearity tolerance scales with snap-induced angular noise
+            coll = np.abs(cross) <= np.maximum(EPS_COLL, 6 * snap / ln[bi])
+            same = coll & (dot > 0)
+            opp = coll & (dot <= 0)
+            np.logical_or.at(left, bi[same], True)
+            np.logical_or.at(right, bi[opp], True)
+            # coincident collinear boundary owned by a smaller key member:
+            # that member's candidate carries the edge instead
+            lose = coll & (mkey[band] < own[bi])
+            np.logical_or.at(defer, bi[lose], True)
+            # near-tangent corner fallback: depth sign decides both/neither
+            corner_in = ~coll & (depth[band] > 0)
+            np.logical_or.at(left, bi[corner_in], True)
+            np.logical_or.at(right, bi[corner_in], True)
+
+    in_l = inc_l & ~exc_l
+    in_r = inc_r & ~exc_r
+    keep = (in_l != in_r) & ~defer
+    kept = noded[keep]
+    flip = in_r[keep]  # interior on right -> reverse so it is on left
+    out = kept.copy()
+    out[flip] = kept[flip][:, [2, 3, 0, 1]]
+    return out
+
+
+# ---------- directed ring tracing ----------
+
+def _repair_graph(edges: np.ndarray, snap: float,
+                  tol: float = 64 * SNAP) -> np.ndarray:
+    """Heal float-noise defects in a directed boundary edge set.
+
+    Dilate-then-erode reconstructs coincident support lines through
+    independent float computations that can end up a few snap quanta
+    apart, leaving (a) chain gaps between degree-unbalanced vertices and
+    (b) duplicated parallel chains. Merge imbalanced vertices within
+    ``tol`` (union-find over a grid hash), rewrite endpoints, then drop
+    zero-length and duplicate directed edges.
+    """
+    for _ in range(2):
+        n = len(edges)
+        if n == 0:
+            return edges
+        pts = np.vstack([edges[:, :2], edges[:, 2:]])
+        q = np.round(pts / snap).astype(np.int64)
+        key = np.ascontiguousarray(q).view(np.dtype((np.void, 16))).ravel()
+        uniq, inv = np.unique(key, return_inverse=True)
+        first = np.full(len(uniq), len(key), dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(len(key)))
+        verts = pts[first]
+        outd = np.bincount(inv[:n], minlength=len(uniq))
+        ind = np.bincount(inv[n:], minlength=len(uniq))
+        bad = np.flatnonzero(outd != ind)
+        if len(bad) == 0:
+            return edges
+        # union-find over imbalanced vertices within tol
+        bv = verts[bad]
+        parent = np.arange(len(bad))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        cell = np.floor(bv / tol).astype(np.int64)
+        import collections
+        buckets = collections.defaultdict(list)
+        for i, (cx, cy) in enumerate(cell):
+            buckets[(cx, cy)].append(i)
+        for i in range(len(bad)):
+            cx, cy = cell[i]
+            for dx2 in (-1, 0, 1):
+                for dy2 in (-1, 0, 1):
+                    for j in buckets.get((cx + dx2, cy + dy2), ()):
+                        if j <= i:
+                            continue
+                        if np.hypot(*(bv[i] - bv[j])) <= tol:
+                            parent[find(i)] = find(j)
+        # rewrite merged vertices to their root representative
+        repl = {}
+        for i in range(len(bad)):
+            r = find(i)
+            if r != i:
+                repl[bad[i]] = bad[r]
+        if not repl:
+            return edges
+        new_edges = edges.copy()
+        for vid_from, vid_to in repl.items():
+            mask_t = inv[:n] == vid_from
+            mask_h = inv[n:] == vid_from
+            new_edges[mask_t, 0:2] = verts[vid_to]
+            new_edges[mask_h, 2:4] = verts[vid_to]
+        ln = np.hypot(new_edges[:, 2] - new_edges[:, 0],
+                      new_edges[:, 3] - new_edges[:, 1])
+        new_edges = new_edges[ln > 0]
+        # drop duplicate directed edges (merged parallel chains)
+        qq = np.round(new_edges / snap).astype(np.int64)
+        kk = np.ascontiguousarray(qq).view(np.dtype((np.void, 32))).ravel()
+        _, idx = np.unique(kk, return_index=True)
+        idx.sort()
+        edges = new_edges[idx]
+    return edges
+
+
+def trace_directed_rings(edges: np.ndarray, snap: float = SNAP
+                         ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Directed boundary edges (interior on left) -> (exterior_rings,
+    hole_rings), both CCW-normalized vertex arrays.
+
+    Successor of directed edge d at its head = the outgoing directed edge
+    first clockwise of d's reverse direction. Open chains (numerical
+    noise) and tiny rings are dropped.
+    """
+    edges = _repair_graph(np.asarray(edges, dtype=np.float64), snap)
+    if len(edges) == 0:
+        return [], []
+    pts = np.vstack([edges[:, :2], edges[:, 2:]])
+    q = np.round(pts / snap).astype(np.int64)
+    key = np.ascontiguousarray(q).view(np.dtype((np.void, 16))).ravel()
+    uniq, inv = np.unique(key, return_inverse=True)
+    first = np.full(len(uniq), len(key), dtype=np.int64)
+    np.minimum.at(first, inv, np.arange(len(key)))
+    verts = pts[first]
+    n = len(edges)
+    tail = inv[:n]
+    head = inv[n:]
+    ok = tail != head
+    tail, head = tail[ok], head[ok]
+    m = len(tail)
+    if m == 0:
+        return [], []
+    ang = np.arctan2(verts[head][:, 1] - verts[tail][:, 1],
+                     verts[head][:, 0] - verts[tail][:, 0])
+    order = np.lexsort((ang, tail))
+    sorted_tail = tail[order]
+    grp_start = np.searchsorted(sorted_tail, np.arange(len(verts)), "left")
+    grp_end = np.searchsorted(sorted_tail, np.arange(len(verts)), "right")
+    nxt = np.full(m, -1, dtype=np.int64)
+    rev_ang = (ang + 2 * np.pi) % (2 * np.pi) - np.pi  # ang + pi wrapped
+    for d in range(m):
+        v = head[d]
+        s, e = grp_start[v], grp_end[v]
+        if s == e:
+            continue
+        cand = order[s:e]
+        ca = ang[cand]
+        less = ca < rev_ang[d] - 1e-12
+        if less.any():
+            nxt[d] = cand[np.flatnonzero(less)[np.argmax(ca[less])]]
+        else:
+            nxt[d] = cand[np.argmax(ca)]
+    visited = np.zeros(m, dtype=bool)
+    ext, holes = [], []
+    for d0 in range(m):
+        if visited[d0]:
+            continue
+        chain = []
+        d = d0
+        broken = False
+        while True:
+            if visited[d]:
+                broken = True
+                break
+            visited[d] = True
+            chain.append(d)
+            d = nxt[d]
+            if d < 0:
+                broken = True
+                break
+            if d == d0:
+                break
+        if broken or len(chain) < 3:
+            continue
+        ring = verts[tail[chain]]
+        x, y = ring[:, 0], ring[:, 1]
+        area = 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        if abs(area) <= (snap * 100) ** 2:
+            continue
+        if area > 0:
+            ext.append(ring)
+        else:
+            holes.append(ring[::-1])
+    return ext, holes
+
+
+# ---------- high-level operations ----------
+
+def simplify_collinear(ring: np.ndarray, tol: float = 1e-9) -> np.ndarray:
+    """Drop vertices whose perpendicular deviation from the chord of their
+    neighbors is below ``tol``; keeps ring topology.
+
+    Default tol merges only *exactly* collinear chains: a looser tolerance
+    would perturb ring edges off the convex-member boundary lines they lie
+    on and create near-tangencies that break the combinatorial side
+    classification downstream.
+    """
+    if len(ring) <= 3:
+        return ring
+    prev = np.roll(ring, 1, axis=0)
+    nxt = np.roll(ring, -1, axis=0)
+    chord = nxt - prev
+    ln = np.hypot(chord[:, 0], chord[:, 1])
+    ln = np.where(ln == 0, 1.0, ln)
+    dev = np.abs(chord[:, 0] * (ring[:, 1] - prev[:, 1])
+                 - chord[:, 1] * (ring[:, 0] - prev[:, 0])) / ln
+    keep = dev > tol
+    if keep.sum() < 3:
+        return ring
+    return ring[keep]
+
+
+def rings_to_edges(rings: list[np.ndarray]) -> np.ndarray:
+    """Closed-ring vertex arrays -> stacked (E,4) edge segments."""
+    if not rings:
+        return np.empty((0, 4))
+    parts = []
+    for r in rings:
+        nxt = np.roll(r, -1, axis=0)
+        parts.append(np.hstack([r, nxt]))
+    return np.concatenate(parts)
+
+
+def buffer_union(segs: np.ndarray, radii: np.ndarray, nseg: int = 5,
+                 snap: float = SNAP):
+    """Round-buffer each segment and dissolve (G1+A1 of SURVEY §2).
+
+    Returns (member_sets, exterior_rings, hole_rings); member_sets define
+    the union's coverage for downstream morphology stages.
+    """
+    rects, discs = buffer_members(segs, radii, nseg, snap)
+    sets = [ConvexSet(rects, snap), ConvexSet(discs, snap)]
+    layers = [Layer(s, include=True, candidate=True) for s in sets]
+    bnd = region_boundary(layers, snap)
+    ext, holes = trace_directed_rings(bnd, snap)
+    return sets, ext, holes
+
+
+def _ring_buffer_members(rings: list[np.ndarray], radius: float,
+                         nseg: int, snap: float) -> list[np.ndarray]:
+    simp = [simplify_collinear(r) for r in rings]
+    edges = rings_to_edges(simp)
+    if len(edges) == 0:
+        return [np.empty((0, 4, 2)), np.empty((0, 4 * nseg, 2))]
+    rects = segment_rects(edges, np.full(len(edges), radius))
+    verts = np.concatenate([r for r in simp])
+    discs = vertex_discs(verts, np.full(len(verts), radius), nseg, snap)
+    return [rects, discs]
+
+
+def morphological_close(u_sets: list[ConvexSet], rings_u: list[np.ndarray],
+                        radius: float, nseg: int = 5, snap: float = SNAP):
+    """close(U, r) = erode(dilate(U, r), r).
+
+    ``u_sets`` define U's coverage; ``rings_u`` are all its boundary rings
+    (exterior + holes). Returns (ext_rings, hole_rings) of the closed
+    region. Mirrors buffer(+r)/buffer(-r) at
+    sidewalk_generation_logic.py:336-355.
+    """
+    if not rings_u:
+        return [], []
+    # dilate: D = U ∪ buffer(∂U, r)
+    d_members = _ring_buffer_members(rings_u, radius, nseg, snap)
+    d_sets = [ConvexSet(p, snap) for p in d_members]
+    layers_d = ([Layer(s, True, True) for s in d_sets]
+                + [Layer(s, True, False) for s in u_sets])
+    bnd_d = region_boundary(layers_d, snap)
+    ext_d, holes_d = trace_directed_rings(bnd_d, snap)
+    rings_d = ext_d + holes_d
+    if not rings_d:
+        return [], []
+    # erode: C = D \ buffer(∂D, r)
+    e_members = _ring_buffer_members(rings_d, radius, nseg, snap)
+    e_sets = [ConvexSet(p, snap) for p in e_members]
+    layers_c = ([Layer(s, False, True) for s in e_sets]
+                + [Layer(s, True, False) for s in d_sets]
+                + [Layer(s, True, False) for s in u_sets])
+    bnd_c = region_boundary(layers_c, snap)
+    return trace_directed_rings(bnd_c, snap)

@@ -1,0 +1,205 @@
+"""Planar noding: split a bag of segments at all mutual intersections.
+
+This is the engine's replacement for the GEOS noder that underlies the
+reference's ``native:polygonize`` / ``native:lineintersections`` /
+``qgis:splitwithlines`` calls (``generic_functions.py:195-217``,
+``:381-388``, ``:462-470``). Pure NumPy; candidate pairs come from a
+uniform grid hash (the R-tree prefilter analog of
+``generic_functions.py:999-1020``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SNAP = 1e-5  # coordinate snap grid, meters (0.01 mm)
+
+
+def snap_round(a: np.ndarray, snap: float = SNAP) -> np.ndarray:
+    return np.round(np.asarray(a, dtype=np.float64) / snap) * snap
+
+
+def _candidate_pairs(segs: np.ndarray, bin_size: float) -> np.ndarray:
+    """Grid-hash bbox overlap candidates -> (k,2) index pairs i<j."""
+    n = len(segs)
+    xmin = np.minimum(segs[:, 0], segs[:, 2])
+    xmax = np.maximum(segs[:, 0], segs[:, 2])
+    ymin = np.minimum(segs[:, 1], segs[:, 3])
+    ymax = np.maximum(segs[:, 1], segs[:, 3])
+    ix0 = np.floor(xmin / bin_size).astype(np.int64)
+    ix1 = np.floor(xmax / bin_size).astype(np.int64)
+    iy0 = np.floor(ymin / bin_size).astype(np.int64)
+    iy1 = np.floor(ymax / bin_size).astype(np.int64)
+    # explode (seg, cell) membership
+    counts = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    seg_ids = np.repeat(np.arange(n), counts)
+    cells = np.empty(len(seg_ids), dtype=np.int64)
+    pos = 0
+    for i in range(n):
+        c = counts[i]
+        if c == 1:
+            cells[pos] = (ix0[i] << 32) ^ (iy0[i] & 0xFFFFFFFF)
+        else:
+            gx = np.arange(ix0[i], ix1[i] + 1)
+            gy = np.arange(iy0[i], iy1[i] + 1)
+            cc = (gx[:, None] << 32) ^ (gy[None, :] & 0xFFFFFFFF)
+            cells[pos:pos + c] = cc.ravel()
+        pos += c
+    order = np.argsort(cells, kind="stable")
+    cells_s = cells[order]
+    segs_s = seg_ids[order]
+    # group boundaries
+    starts = np.flatnonzero(np.concatenate([[True], cells_s[1:] != cells_s[:-1]]))
+    ends = np.concatenate([starts[1:], [len(cells_s)]])
+    pairs = []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        grp = segs_s[s:e]
+        ii, jj = np.triu_indices(m, k=1)
+        pairs.append(np.column_stack([grp[ii], grp[jj]]))
+    if not pairs:
+        return np.empty((0, 2), dtype=np.int64)
+    pr = np.concatenate(pairs)
+    lo = np.minimum(pr[:, 0], pr[:, 1])
+    hi = np.maximum(pr[:, 0], pr[:, 1])
+    keep = lo != hi
+    key = lo[keep] * (len(segs) + 1) + hi[keep]
+    _, idx = np.unique(key, return_index=True)
+    return np.column_stack([lo[keep][idx], hi[keep][idx]])
+
+
+def node_segments(segs: np.ndarray, snap: float = SNAP
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Split segments at all mutual intersections.
+
+    Parameters
+    ----------
+    segs : (n,4) float64 [x1,y1,x2,y2]
+
+    Returns
+    -------
+    noded : (m,4) snapped sub-segments (zero-length dropped)
+    parent : (m,) index into the input array
+    """
+    segs = np.asarray(segs, dtype=np.float64)
+    if len(segs) == 0:
+        return segs.reshape(0, 4), np.empty(0, dtype=np.int64)
+    segs = np.column_stack([snap_round(segs[:, i], snap) for i in range(4)])
+    lens = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+    keep = lens > 0
+    segs = segs[keep]
+    base_parent = np.flatnonzero(keep)
+    lens = lens[keep]
+    n = len(segs)
+    if n == 0:
+        return segs, base_parent
+    bin_size = max(float(np.median(lens)) * 2.0, snap * 16)
+    pairs = _candidate_pairs(segs, bin_size)
+
+    # accumulated split points per segment: (seg_idx, x, y)
+    acc_seg: list[np.ndarray] = []
+    acc_pts: list[np.ndarray] = []
+
+    if len(pairs):
+        i, j = pairs[:, 0], pairs[:, 1]
+        a1x, a1y, b1x, b1y = segs[i, 0], segs[i, 1], segs[i, 2], segs[i, 3]
+        a2x, a2y, b2x, b2y = segs[j, 0], segs[j, 1], segs[j, 2], segs[j, 3]
+        d1x, d1y = b1x - a1x, b1y - a1y
+        d2x, d2y = b2x - a2x, b2y - a2y
+        denom = d1x * d2y - d1y * d2x
+        ex, ey = a2x - a1x, a2y - a1y
+        scale = lens[i] * lens[j]
+        parallel = np.abs(denom) <= 1e-12 * scale
+        # --- proper (non-parallel) crossings ---
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (ex * d2y - ey * d2x) / denom
+            u = (ex * d1y - ey * d1x) / denom
+        tol_t = snap / np.maximum(lens[i], snap)
+        tol_u = snap / np.maximum(lens[j], snap)
+        hit = (~parallel & (t >= -tol_t) & (t <= 1 + tol_t)
+               & (u >= -tol_u) & (u <= 1 + tol_u))
+        if hit.any():
+            px = a1x[hit] + np.clip(t[hit], 0, 1) * d1x[hit]
+            py = a1y[hit] + np.clip(t[hit], 0, 1) * d1y[hit]
+            pts = np.column_stack([snap_round(px, snap), snap_round(py, snap)])
+            acc_seg.append(i[hit]); acc_pts.append(pts)
+            acc_seg.append(j[hit]); acc_pts.append(pts)
+        # --- collinear overlap ---
+        coll = parallel & (np.abs(ex * d1y - ey * d1x) <= 1e-9 * np.maximum(scale, snap))
+        if coll.any():
+            ci, cj = i[coll], j[coll]
+            for (si, sj) in zip(ci, cj):
+                for (qx, qy) in ((segs[sj, 0], segs[sj, 1]), (segs[sj, 2], segs[sj, 3])):
+                    li = lens[si]
+                    tt = ((qx - segs[si, 0]) * (segs[si, 2] - segs[si, 0])
+                          + (qy - segs[si, 1]) * (segs[si, 3] - segs[si, 1])) / (li * li)
+                    if 0 < tt < 1:
+                        acc_seg.append(np.array([si]))
+                        acc_pts.append(np.array([[qx, qy]]))
+                for (qx, qy) in ((segs[si, 0], segs[si, 1]), (segs[si, 2], segs[si, 3])):
+                    lj = lens[sj]
+                    tt = ((qx - segs[sj, 0]) * (segs[sj, 2] - segs[sj, 0])
+                          + (qy - segs[sj, 1]) * (segs[sj, 3] - segs[sj, 1])) / (lj * lj)
+                    if 0 < tt < 1:
+                        acc_seg.append(np.array([sj]))
+                        acc_pts.append(np.array([[qx, qy]]))
+
+    if acc_seg:
+        all_seg = np.concatenate(acc_seg)
+        all_pts = np.concatenate(acc_pts)
+    else:
+        all_seg = np.empty(0, dtype=np.int64)
+        all_pts = np.empty((0, 2))
+
+    # build sub-segments
+    out_segs = []
+    out_parent = []
+    order = np.argsort(all_seg, kind="stable")
+    all_seg = all_seg[order]
+    all_pts = all_pts[order]
+    starts = np.searchsorted(all_seg, np.arange(n), side="left")
+    ends = np.searchsorted(all_seg, np.arange(n), side="right")
+    for si in range(n):
+        a = segs[si, :2]
+        b = segs[si, 2:]
+        pts = all_pts[starts[si]:ends[si]]
+        if len(pts) == 0:
+            out_segs.append(np.concatenate([a, b]))
+            out_parent.append(si)
+            continue
+        chain = np.vstack([a[None, :], pts, b[None, :]])
+        # order by parametric position along the segment
+        d = b - a
+        tt = (chain - a) @ d / (d @ d)
+        chain = chain[np.argsort(tt, kind="stable")]
+        # dedup consecutive identical points
+        dif = np.diff(chain, axis=0)
+        nz = (dif[:, 0] != 0) | (dif[:, 1] != 0)
+        starts_c = chain[:-1][nz]
+        ends_c = chain[1:][nz]
+        for aa, bb in zip(starts_c, ends_c):
+            out_segs.append(np.concatenate([aa, bb]))
+            out_parent.append(si)
+    noded = np.array(out_segs) if out_segs else np.empty((0, 4))
+    parent = base_parent[np.array(out_parent, dtype=np.int64)] if out_parent else np.empty(0, dtype=np.int64)
+    return noded, parent
+
+
+def dedup_undirected(segs: np.ndarray, parent: np.ndarray,
+                     snap: float = SNAP) -> tuple[np.ndarray, np.ndarray]:
+    """Remove duplicate undirected segments (keep first occurrence)."""
+    if len(segs) == 0:
+        return segs, parent
+    q = np.round(segs / snap).astype(np.int64)
+    a = q[:, :2]
+    b = q[:, 2:]
+    swap = (b[:, 0] < a[:, 0]) | ((b[:, 0] == a[:, 0]) & (b[:, 1] < a[:, 1]))
+    lo = np.where(swap[:, None], b, a)
+    hi = np.where(swap[:, None], a, b)
+    key = np.ascontiguousarray(np.hstack([lo, hi])).view(
+        np.dtype((np.void, 32))).ravel()
+    _, idx = np.unique(key, return_index=True)
+    idx.sort()
+    return segs[idx], parent[idx]
