@@ -150,6 +150,14 @@ class ConvexSet:
             spans = np.maximum(self.boxes[:, 2] - self.boxes[:, 0],
                                self.boxes[:, 3] - self.boxes[:, 1])
             self.bin = max(float(np.median(spans)), SNAP * 16)
+            # precompute edge geometry (padded polygons may contain
+            # zero-length edges: neutralized via +inf depth)
+            vx, vy = self.polys[:, :, 0], self.polys[:, :, 1]
+            self._ex = np.roll(vx, -1, axis=1) - vx
+            self._ey = np.roll(vy, -1, axis=1) - vy
+            el = np.hypot(self._ex, self._ey)
+            self._degen = el == 0
+            self._el = np.where(self._degen, 1.0, el)
         else:
             self.boxes = np.empty((0, 4))
             self.bin = 1.0
@@ -169,15 +177,13 @@ class ConvexSet:
         if len(pi) == 0:
             z = np.empty(0, np.int64)
             return z, z, np.empty(0), np.empty((0, 2))
-        P = self.polys[si]                      # (T,V,2)
-        vx, vy = P[:, :, 0], P[:, :, 1]
-        ex = np.roll(vx, -1, axis=1) - vx
-        ey = np.roll(vy, -1, axis=1) - vy
-        el = np.hypot(ex, ey)
-        el = np.where(el == 0, 1.0, el)
+        vx, vy = self.polys[si, :, 0], self.polys[si, :, 1]
+        ex, ey, el = self._ex[si], self._ey[si], self._el[si]
         qx = px[pi][:, None] - vx
         qy = py[pi][:, None] - vy
         d = (ex * qy - ey * qx) / el            # signed dist to edge lines
+        if self._degen.any():
+            d = np.where(self._degen[si], np.inf, d)
         k = np.argmin(d, axis=1)
         rows = np.arange(len(pi))
         depth = d[rows, k]
@@ -520,16 +526,75 @@ def buffer_union(segs: np.ndarray, radii: np.ndarray, nseg: int = 5,
     return sets, ext, holes
 
 
+def ring_wedges(ring: np.ndarray, radius: float, nseg: int = 5
+                ) -> list[np.ndarray]:
+    """Corner sector polygons filling the offset gaps at ring turns.
+
+    At a vertex where consecutive edges turn by angle θ, the ±r edge
+    rectangles leave an uncovered sector of angle θ on the convex side;
+    the wedge [v, v + n_start, arc..., v + n_end] covers it. Far cheaper
+    than a full disc per vertex (tiny bbox, 3-6 vertices), which keeps
+    the pair counts of the depth queries small.
+    """
+    n = len(ring)
+    if n < 3:
+        return []
+    prev = np.roll(ring, 1, axis=0)
+    nxt = np.roll(ring, -1, axis=0)
+    u1 = ring - prev
+    u2 = nxt - ring
+    l1 = np.hypot(u1[:, 0], u1[:, 1])
+    l2 = np.hypot(u2[:, 0], u2[:, 1])
+    ok = (l1 > 0) & (l2 > 0)
+    u1 = u1 / np.where(l1 == 0, 1, l1)[:, None]
+    u2 = u2 / np.where(l2 == 0, 1, l2)[:, None]
+    cross = u1[:, 0] * u2[:, 1] - u1[:, 1] * u2[:, 0]
+    dot = u1[:, 0] * u2[:, 0] + u1[:, 1] * u2[:, 1]
+    theta = np.arctan2(cross, dot)      # turn angle, signed
+    dtheta = np.pi / (2 * nseg)
+    wedges = []
+    for i in range(n):
+        if not ok[i] or abs(theta[i]) < 1e-9:
+            continue
+        v = ring[i]
+        if theta[i] > 0:    # left turn: gap on right side
+            a0 = np.arctan2(-u1[i, 0], u1[i, 1])   # angle of u1's right normal
+            span = theta[i]
+        else:               # right turn: gap on left side
+            a0 = np.arctan2(u2[i, 0], -u2[i, 1])   # angle of u2's left normal
+            span = -theta[i]
+        nsteps = max(1, int(np.ceil(span / dtheta)))
+        angs = a0 + np.linspace(0.0, span, nsteps + 1)
+        pts = np.vstack([v, v[None, :] + radius * np.column_stack(
+            [np.cos(angs), np.sin(angs)])])
+        wedges.append(pts)
+    return wedges
+
+
+def _pad_polys(polys: list[np.ndarray]) -> np.ndarray:
+    """Stack variable-vertex convex polygons, padding by repeating the
+    last vertex (degenerate edges are ignored by ConvexSet.query)."""
+    if not polys:
+        return np.empty((0, 3, 2))
+    vmax = max(len(p) for p in polys)
+    out = np.empty((len(polys), vmax, 2))
+    for i, p in enumerate(polys):
+        out[i, :len(p)] = p
+        out[i, len(p):] = p[-1]
+    return out
+
+
 def _ring_buffer_members(rings: list[np.ndarray], radius: float,
                          nseg: int, snap: float) -> list[np.ndarray]:
     simp = [simplify_collinear(r) for r in rings]
     edges = rings_to_edges(simp)
     if len(edges) == 0:
-        return [np.empty((0, 4, 2)), np.empty((0, 4 * nseg, 2))]
+        return [np.empty((0, 4, 2)), np.empty((0, 3, 2))]
     rects = segment_rects(edges, np.full(len(edges), radius))
-    verts = np.concatenate([r for r in simp])
-    discs = vertex_discs(verts, np.full(len(verts), radius), nseg, snap)
-    return [rects, discs]
+    wedges = []
+    for r in simp:
+        wedges.extend(ring_wedges(r, radius, nseg))
+    return [rects, _pad_polys(wedges)]
 
 
 def morphological_close(u_sets: list[ConvexSet], rings_u: list[np.ndarray],

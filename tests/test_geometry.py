@@ -1,0 +1,192 @@
+"""Unit tests for the pure-NumPy geometry kernels.
+
+Mirrors the reference's operator-level tests (SURVEY.md §5):
+polygonize counts on grids, buffer/close areas, crossing invariants.
+"""
+
+import numpy as np
+import pytest
+
+from osm_sidewalkreator_spark.geometry import core, faces, noding, wkb
+from osm_sidewalkreator_spark.geometry.morph import (
+    buffer_union, morphological_close)
+from osm_sidewalkreator_spark.geometry.projection import tm_forward, tm_inverse
+from osm_sidewalkreator_spark.plans import kernels
+
+
+def grid_segments(k: int, s: float = 100.0) -> np.ndarray:
+    segs = []
+    for i in range(k):
+        segs.append([0, i * s, (k - 1) * s, i * s])
+        segs.append([i * s, 0, i * s, (k - 1) * s])
+    return np.array(segs, dtype=float)
+
+
+# ---------- WKB ----------
+
+def test_wkb_roundtrip_point():
+    b = wkb.point_wkb(1.5, -2.5)
+    assert wkb.decode_point(b) == (1.5, -2.5)
+
+
+def test_wkb_roundtrip_linestring():
+    coords = np.array([[0, 0], [1, 2], [3, 4.5]])
+    t, parts = wkb.decode(wkb.linestring_wkb(coords))
+    assert t == wkb.LINESTRING
+    np.testing.assert_array_equal(parts[0], coords)
+
+
+def test_wkb_roundtrip_polygon_with_hole():
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6]], float)
+    rings = wkb.decode_polygons(wkb.polygon_wkb(shell, [hole]))
+    assert len(rings) == 1 and len(rings[0]) == 2
+    np.testing.assert_array_equal(rings[0][1], hole)
+
+
+def test_wkb_vectorized_points():
+    xs = np.array([1.0, 2.0, 3.0])
+    ys = np.array([-1.0, -2.0, -3.0])
+    blobs = wkb.points_wkb(xs, ys)
+    back = wkb.decode_points_vec(blobs)
+    np.testing.assert_array_equal(back, np.column_stack([xs, ys]))
+
+
+# ---------- noding + polygonize ----------
+
+def test_polygonize_unit_square():
+    sq = np.array([[0, 0, 1, 0], [1, 0, 1, 1], [1, 1, 0, 1], [0, 1, 0, 0]],
+                  float)
+    noded, p = noding.node_segments(sq)
+    noded, p = noding.dedup_undirected(noded, p)
+    assert len(faces.polygonize(noded, min_area=1e-9)) == 1
+
+
+@pytest.mark.parametrize("k", [3, 5, 8])
+def test_polygonize_grid_counts(k):
+    noded, p = noding.node_segments(grid_segments(k))
+    noded, p = noding.dedup_undirected(noded, p)
+    assert len(faces.polygonize(noded)) == (k - 1) ** 2
+
+
+def test_polygonize_dangle_no_extra_face():
+    segs = np.array([[0, 0, 1, 0], [1, 0, 1, 1], [1, 1, 0, 1], [0, 1, 0, 0],
+                     [0.5, 0.5, 2, 0.5]], float)
+    noded, p = noding.node_segments(segs)
+    noded, p = noding.dedup_undirected(noded, p)
+    f = faces.polygonize(noded, min_area=1e-9)
+    assert len(f) == 1
+    assert abs(abs(core.ring_signed_area(f[0])) - 1.0) < 1e-9
+
+
+# ---------- buffer / dissolve / close ----------
+
+def test_buffer_single_segment_area():
+    _, ext, holes = buffer_union(np.array([[0, 0, 10, 0]]), np.array([1.0]))
+    assert len(ext) == 1 and not holes
+    # 20 + pi (slightly less: inscribed arc chords)
+    area = core.ring_signed_area(ext[0])
+    assert 22.9 < area < 20 + np.pi + 1e-6
+
+
+def test_buffer_square_loop_hole():
+    sq = np.array([[0, 0, 100, 0], [100, 0, 100, 100],
+                   [100, 100, 0, 100], [0, 100, 0, 0]], float)
+    sets, ext, holes = buffer_union(sq, np.full(4, 3.0))
+    assert len(ext) == 1 and len(holes) == 1
+    assert abs(core.ring_signed_area(holes[0]) - 94 * 94) < 0.5
+
+
+def test_close_keeps_exterior_and_rounds_corners():
+    sq = np.array([[0, 0, 100, 0], [100, 0, 100, 100],
+                   [100, 100, 0, 100], [0, 100, 0, 0]], float)
+    sets, ext, holes = buffer_union(sq, np.full(4, 3.0))
+    ec, hc = morphological_close(sets, ext + holes, 3.0)
+    assert len(ec) == 1 and len(hc) == 1
+    # hole corners rounded: area shrinks by ~(4-pi)*r^2
+    assert abs(core.ring_signed_area(hc[0]) - (94 * 94 - (4 - np.pi) * 9)) < 1.0
+
+
+def test_grid_close_counts():
+    segs = grid_segments(4)
+    sets, ext, holes = buffer_union(segs, np.full(len(segs), 3.0))
+    assert len(holes) == 9
+    ec, hc = morphological_close(sets, ext + holes, 3.0)
+    assert len(ec) == 1 and len(hc) == 9
+
+
+# ---------- projection ----------
+
+def test_tm_roundtrip():
+    rng = np.random.default_rng(42)
+    lon = -49.2957 + rng.uniform(-0.05, 0.05, 100)
+    lat = -25.4599 + rng.uniform(-0.05, 0.05, 100)
+    x, y = tm_forward(lon, lat, -49.2957, -25.4599)
+    lon2, lat2 = tm_inverse(x, y, -49.2957, -25.4599)
+    assert np.abs(lon2 - lon).max() < 1e-12
+    assert np.abs(lat2 - lat).max() < 1e-12
+
+
+def test_tm_meter_scale():
+    x, y = tm_forward(np.array([-49.2957]), np.array([-25.4599 + 0.001]),
+                      -49.2957, -25.4599)
+    assert abs(y[0] - 111.195) < 0.1
+
+
+# ---------- pipeline kernels ----------
+
+@pytest.fixture(scope="module")
+def city():
+    k, s = 6, 100.0
+    segs, widths = [], []
+    for i in range(k):
+        for j in range(k - 1):
+            segs.append([j * s, i * s, (j + 1) * s, i * s])
+            widths.append(6.0 if i % 2 else 10.0)
+            segs.append([i * s, j * s, i * s, (j + 1) * s])
+            widths.append(6.0)
+    segs.append([0, 0, (k - 1) * s, (k - 1) * s])
+    widths.append(12.0)
+    return np.array(segs, float), np.array(widths)
+
+
+@pytest.fixture(scope="module")
+def city_out(city):
+    return kernels.tile_pipeline(*city)
+
+
+def test_pipeline_protoblock_count(city_out):
+    # (k-1)^2 = 25 grid blocks + 5 split in two by the diagonal
+    assert len(city_out["protoblocks"]) == 30
+
+
+def test_pipeline_sidewalk_rings(city_out):
+    assert len(city_out["sidewalks"]) == 30
+
+
+def test_pipeline_crossing_invariants(city_out):
+    crossings = city_out["crossings"]
+    kerbs = city_out["kerbs"]
+    assert len(crossings) > 0
+    # golden-fixture invariants (FIXTURES.md §7)
+    assert len(kerbs) == 2 * len(crossings)
+    assert all(len(c["coords"]) == 5 for c in crossings)
+    assert all(c["length"] <= 100.0 for c in crossings)
+
+
+def test_remove_dangles():
+    segs = np.vstack([grid_segments(3),
+                      [[0, 0, -50, -50]], [[-50, -50, -80, -50]]])
+    cleaned, idx = kernels.remove_dangles(segs)
+    # the two stub segments disappear, the 3x3 grid remains intact
+    noded, p = noding.node_segments(cleaned)
+    noded, p = noding.dedup_undirected(noded, p)
+    assert len(faces.polygonize(noded)) == 4
+    assert len(cleaned) == len(grid_segments(3))
+
+
+def test_endpoint_degrees():
+    segs = np.array([[0, 0, 1, 0], [1, 0, 2, 0], [1, 0, 1, 1]], float)
+    d0, d1 = kernels.endpoint_degrees(segs)
+    assert d1[0] == 3 and d0[1] == 3 and d0[2] == 3
+    assert d0[0] == 1 and d1[1] == 1 and d1[2] == 1
