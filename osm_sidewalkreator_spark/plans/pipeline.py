@@ -1,0 +1,207 @@
+"""The sidewalk-generation pipeline as Spark DataFrame transforms.
+
+Stage order mirrors the reference lifecycle (SURVEY.md §3.2, headless
+Processing path): load -> clip to AOI -> local-TM projection -> width
+assignment -> per-tile geometry pipeline (split, polygonize, buffer/
+close/rings, crossings+kerbs) -> EPSG:4326 outputs.
+
+Scale design: streets are assigned to every TILE whose halo-padded
+square their segment bbox touches; each tile is processed independently
+in ``groupBy(tile).applyInPandas`` (the shuffle key is the tile id, so a
+1000-executor cluster spreads tiles evenly; skewed mega-tiles are the
+same knob as H3 resolution — shrink TILE_SIZE_M). Features are emitted
+only by the tile that *owns* their representative point, so the halo
+overlap never duplicates output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import params as P
+from ..geometry import core, wkb
+from ..synth import CITY_LAT0, CITY_LON0, ensure_synth
+from ..functions.geo import st_explode_segments, make_transform_udf
+from ..operators.tiling import cover_cells
+from . import kernels
+
+WIDTHS_ITEMS = sorted(P.DEFAULT_WIDTHS.items())
+
+
+def load_streets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    synth = ensure_synth(sf_dir)
+    return spark.read.parquet(str(synth / "streets.parquet"))
+
+
+def clip_to_aoi(streets: DataFrame, spark: SparkSession, sf_dir: str
+                ) -> DataFrame:
+    """AOI clip (P1, ``cliplayer_v2`` generic_functions.py:391-401).
+
+    The AOI is one broadcast rectangle; segment-level clipping happens in
+    the tile kernel — here we prefilter whole features whose TM bbox is
+    outside (scan-pruning analog of the reference's clip-then-process).
+    """
+    synth = ensure_synth(sf_dir)
+    aoi = spark.read.parquet(str(synth / "aoi.parquet")) \
+        .select("xmin", "ymin", "xmax", "ymax")
+    return (streets.crossJoin(F.broadcast(aoi))
+            .filter((F.greatest("x1", "x2") >= F.col("xmin"))
+                    & (F.least("x1", "x2") <= F.col("xmax"))
+                    & (F.greatest("y1", "y2") >= F.col("ymin"))
+                    & (F.least("y1", "y2") <= F.col("ymax")))
+            .drop("xmin", "ymin", "xmax", "ymax"))
+
+
+def assign_widths(streets: DataFrame) -> DataFrame:
+    """Width coalesce + class filter (P7/P8).
+
+    Exact reference semantics (``assign_street_widths``
+    generic_functions.py:1720-1803): parse the raw ``width`` tag; if it
+    casts to a float > 0 use it, else the per-class default
+    (parameters.py:67-105, unknown class -> 0.0); drop rows whose final
+    width is < 0.5 m. Pure built-ins: try_cast + a literal map lookup.
+    """
+    class_map = F.create_map(
+        *[F.lit(v) for kv in WIDTHS_ITEMS for v in kv])
+    parsed = F.col("width").try_cast("double")
+    default = F.coalesce(class_map[F.lower(F.col("highway"))], F.lit(0.0))
+    assigned = F.when(parsed > 0, parsed).otherwise(default)
+    return (streets.withColumn("width_m", assigned)
+            .filter(F.col("width_m") >= P.MIN_VALID_WIDTH))
+
+
+def street_segments_tm(streets: DataFrame) -> DataFrame:
+    """Explode street polylines into 2-point segments in TM meters.
+
+    Geometry arrives as EPSG:4326 WKB; reproject (P3) then explode (the
+    per-vertex dedup of G14 collapses the duplicate-vertex fixtures as a
+    zero-length-segment drop inside ``explode_polyline_to_segments``).
+    """
+    tm = streets.withColumn(
+        "geom_tm", make_transform_udf(CITY_LON0, CITY_LAT0, True)("geometry"))
+    seg = tm.withColumn("seg", F.explode(st_explode_segments("geom_tm")))
+    return seg.select(
+        "osm_id", "highway", F.col("width_m").alias("width"),
+        F.col("seg.ax").alias("ax"), F.col("seg.ay").alias("ay"),
+        F.col("seg.bx").alias("bx"), F.col("seg.by").alias("by"))
+
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("tile", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("fid", T.LongType()),
+    T.StructField("geometry", T.BinaryType()),   # local-TM WKB
+    T.StructField("length", T.DoubleType()),
+    T.StructField("area", T.DoubleType()),
+    T.StructField("ref_id", T.LongType()),       # kerb -> crossing fid
+    T.StructField("cx", T.DoubleType()),         # representative point
+    T.StructField("cy", T.DoubleType()),
+])
+
+
+def _tile_bounds(tile: int, size: float) -> tuple[float, float, float, float]:
+    ix = np.int64(tile) >> 32
+    iy = np.int64(np.int64(tile) & np.int64(0xFFFFFFFF)).astype(np.int32)
+    x0 = float(ix) * size
+    y0 = float(iy) * size
+    return x0, y0, x0 + size, y0 + size
+
+
+def _owns(x: float, y: float, b) -> bool:
+    return b[0] <= x < b[2] and b[1] <= y < b[3]
+
+
+def make_tile_kernel(tile_size: float):
+    """applyInPandas kernel: run the per-tile geometry pipeline and emit
+    kind-tagged features owned by this tile's core square."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = int(key[0])
+        b = _tile_bounds(tile, tile_size)
+        pdf = pdf.sort_values(["osm_id", "ax", "ay", "bx", "by"])
+        segs = pdf[["ax", "ay", "bx", "by"]].to_numpy(dtype=np.float64)
+        widths = pdf["width"].to_numpy(dtype=np.float64)
+        out = kernels.tile_pipeline(segs, widths)
+        rows = []
+
+        def emit(kind, fid, geom, length, area, ref_id, cx, cy):
+            rows.append((tile, kind, fid, geom, length, area, ref_id, cx, cy))
+
+        # deterministic compact fids: 24-bit tile grid position + kind +
+        # ordinal (keeps fid*10_000 safely inside int64 for derived ids)
+        ix = int(np.int64(tile) >> 32) & 0xFFF
+        iy = int(np.int64(tile)) & 0xFFF
+        tile_small = (ix << 12) | iy
+
+        def fid_of(kind_code: int, ordinal: int) -> int:
+            return tile_small * 1_000_000 + kind_code * 100_000 + ordinal
+
+        blocks = sorted(out["protoblocks"],
+                        key=lambda r: (round(core.ring_centroid(r)[0], 6),
+                                       round(core.ring_centroid(r)[1], 6)))
+        for i, ring in enumerate(blocks):
+            cx, cy = core.ring_centroid(ring)
+            if not _owns(cx, cy, b):
+                continue
+            shell = np.vstack([ring, ring[:1]])
+            emit("protoblock", fid_of(1, i), wkb.polygon_wkb(shell),
+                 core.ring_perimeter(ring), abs(core.ring_signed_area(ring)),
+                 None, cx, cy)
+
+        swr = sorted(out["sidewalks"],
+                     key=lambda r: (round(r[:, 0].min(), 6),
+                                    round(r[:, 1].min(), 6)))
+        for i, ring in enumerate(swr):
+            cx, cy = core.ring_centroid(ring)
+            if not _owns(cx, cy, b):
+                continue
+            closed = np.vstack([ring, ring[:1]])
+            emit("sidewalk", fid_of(2, i), wkb.linestring_wkb(closed),
+                 core.ring_perimeter(ring), abs(core.ring_signed_area(ring)),
+                 None, cx, cy)
+
+        for i, c in enumerate(out["crossings"]):
+            cx, cy = float(c["center"][0]), float(c["center"][1])
+            if not _owns(cx, cy, b):
+                continue
+            cfid = fid_of(3, i)
+            emit("crossing", cfid, wkb.linestring_wkb(c["coords"]),
+                 float(c["length"]), None, None, cx, cy)
+            for j, k2 in enumerate(out["kerbs"]):
+                if k2["crossing_index"] == i:
+                    emit("kerb", fid_of(4, 2 * i + (j % 2)),
+                         wkb.point_wkb(float(k2["xy"][0]),
+                                       float(k2["xy"][1])),
+                         None, None, cfid,
+                         float(k2["xy"][0]), float(k2["xy"][1]))
+        return pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return kernel
+
+
+def generate_features(spark: SparkSession, sf_dir: str,
+                      tile_size: float = P.TILE_SIZE_M,
+                      halo: float = P.TILE_HALO_M) -> DataFrame:
+    """End-to-end: streets -> per-tile sidewalk/crossing/kerb/protoblock
+    features (local-TM WKB) with halo-overlap tiling + ownership dedup."""
+    streets = load_streets(spark, sf_dir)
+    streets = clip_to_aoi(streets, spark, sf_dir)
+    streets = assign_widths(streets)
+    segs = street_segments_tm(streets)
+    tiled = segs.withColumn(
+        "tile", F.explode(cover_cells(
+            F.least("ax", "bx"), F.least("ay", "by"),
+            F.greatest("ax", "bx"), F.greatest("ay", "by"),
+            tile_size, pad=halo)))
+    return (tiled.groupBy("tile")
+            .applyInPandas(make_tile_kernel(tile_size), FEATURE_SCHEMA))
+
+
+def features_4326(features: DataFrame) -> DataFrame:
+    """Project pipeline outputs back to EPSG:4326 (S4 export path)."""
+    inv = make_transform_udf(CITY_LON0, CITY_LAT0, False)
+    return features.withColumn("geometry", inv("geometry"))

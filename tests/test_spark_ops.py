@@ -1,0 +1,170 @@
+"""Spark-level operator tests (shared local session, smoke scale).
+
+Mirrors the reference's algorithm-level tests with mocked I/O
+(SURVEY.md §5 item 3): fixed synthetic city in, invariant counts out.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_sidewalkreator_spark import params as P
+from osm_sidewalkreator_spark.operators import joins as J
+from osm_sidewalkreator_spark.operators import multimodal as MM
+from osm_sidewalkreator_spark.operators import textops as TX
+from osm_sidewalkreator_spark.plans import pipeline as PL
+from osm_sidewalkreator_spark.session import get_spark
+from osm_sidewalkreator_spark.synth import SCALES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app="tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def features(spark):
+    return PL.generate_features(spark, SF).cache()
+
+
+def test_assign_widths_semantics(spark):
+    df = PL.assign_widths(PL.load_streets(spark, SF))
+    rows = {r["osm_id"]: r["width_m"] for r in
+            df.select("osm_id", "width_m").collect()}
+    st = {r["osm_id"]: r for r in
+          PL.load_streets(spark, SF).collect()}
+    # footway/service classes dropped (default width 0 < 0.5)
+    for oid, r in st.items():
+        if r["highway"] in ("footway", "service") and r["width"] is None:
+            assert oid not in rows
+    # explicit numeric width wins; junk string falls back to class default
+    for oid, r in st.items():
+        if oid in rows and r["width"] == "8.0":
+            assert rows[oid] == 8.0
+        if oid in rows and r["width"] == "about six":
+            assert rows[oid] == P.DEFAULT_WIDTHS[r["highway"]]
+
+
+def test_feature_invariants(features):
+    counts = {r["kind"]: r["n"] for r in
+              features.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert counts["kerb"] == 2 * counts["crossing"]
+    assert counts["protoblock"] > 0 and counts["sidewalk"] > 0
+    # crossing length cap (parameters.py:172)
+    mx = features.filter(F.col("kind") == "crossing") \
+        .agg(F.max("length")).first()[0]
+    assert mx <= P.ABS_MAX_CROSSING_LEN
+    # no duplicate fids across tiles (halo ownership dedup)
+    n = features.count()
+    assert features.select("fid").distinct().count() == n
+
+
+def test_crossings_have_5_vertices(spark, features):
+    from osm_sidewalkreator_spark.functions.geo import st_num_points
+    bad = (features.filter(F.col("kind") == "crossing")
+           .withColumn("nv", st_num_points("geometry"))
+           .filter(F.col("nv") != 5).count())
+    assert bad == 0
+
+
+def test_pip_rect_join_matches_truth(spark):
+    from osm_sidewalkreator_spark.pages import geocode_pages, load_pages
+    pages = geocode_pages(load_pages(spark, SF), SF) \
+        .select("url", "x", "y", "block_truth")
+    from osm_sidewalkreator_spark.synth import ensure_synth
+    blocks = spark.read.parquet(
+        str(ensure_synth(SF) / "blocks.parquet"))
+    j = J.pip_join_points_rects(pages.select("url", "x", "y"), blocks)
+    joined = j.join(pages.select("url", "block_truth"), "url")
+    # geocode places each page inside its truth block by construction
+    mism = joined.filter(F.col("block_id") != F.col("block_truth")).count()
+    assert mism == 0
+
+
+def test_knn_join_agrees_with_bruteforce(spark):
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame({
+        "url": [f"p{i}" for i in range(200)],
+        "x": rng.uniform(-200, 200, 200),
+        "y": rng.uniform(-200, 200, 200)})
+    segs = pd.DataFrame({
+        "seg_id": np.arange(40),
+        "ax": rng.uniform(-200, 200, 40),
+        "ay": rng.uniform(-200, 200, 40)})
+    segs["bx"] = segs["ax"] + rng.uniform(-30, 30, 40)
+    segs["by"] = segs["ay"] + rng.uniform(-30, 30, 40)
+    got = J.knn_join_points_segments(
+        spark.createDataFrame(pts), spark.createDataFrame(segs),
+        k=1, max_dist=50.0, cell_size=64.0).toPandas()
+    # NumPy brute force
+    from osm_sidewalkreator_spark.geometry.core import min_dist_points_to_segs
+    sarr = segs[["ax", "ay", "bx", "by"]].to_numpy()
+    best = min_dist_points_to_segs(pts["x"].to_numpy(), pts["y"].to_numpy(),
+                                   sarr)
+    expected = {u for u, d in zip(pts["url"], best) if d <= 50.0}
+    assert set(got["url"]) == expected
+    gd = dict(zip(got["url"], got["dist"]))
+    for u, d in zip(pts["url"], best):
+        if u in gd:
+            assert abs(gd[u] - d) < 1e-9
+
+
+def test_exact_dedup(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = TX.exact_dedup(docs)
+    assert out.agg(F.sum("dup_count")).first()[0] == docs.count()
+
+
+def test_minhash_finds_exact_dups(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = set(map(tuple, TX.ngram_jaccard_pairs(docs, 0.99)
+                    .select("id_a", "id_b").collect()))
+    mh = set(map(tuple, TX.minhash_lsh_pairs(docs, 0.99)
+                 .select("id_a", "id_b").collect()))
+    assert exact == mh  # J=1 pairs: banded MinHash recall is exact
+
+
+def test_media_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"abc", "image/png", use_fake=False)
+
+
+def test_media_fake_batch_shape(spark):
+    from osm_sidewalkreator_spark.pages import load_pages
+    df = load_pages(spark, SF).limit(50)
+    out = MM.extract_media_features(df)
+    pdf = out.toPandas()
+    assert len(pdf) == 50
+    assert (pdf["n_bytes"] > 0).all()
+    assert (pdf["width_px"] * pdf["height_px"] <= pdf["n_bytes"]).all()
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """North-rule: kill/restart resumes from the tile manifest."""
+    from osm_sidewalkreator_spark.operators.tiling import cover_cells
+    from osm_sidewalkreator_spark.streaming.checkpoint import (
+        TileManifest, run_tiled_job)
+    streets = PL.assign_widths(
+        PL.clip_to_aoi(PL.load_streets(spark, SF), spark, SF))
+    segs = PL.street_segments_tm(streets)
+    tiled = segs.withColumn("tile", F.explode(cover_cells(
+        F.least("ax", "bx"), F.least("ay", "by"),
+        F.greatest("ax", "bx"), F.greatest("ay", "by"),
+        P.TILE_SIZE_M, pad=P.TILE_HALO_M)))
+    job_dir = str(tmp_path / "job1")
+    out1 = run_tiled_job(spark, tiled, PL.make_tile_kernel(P.TILE_SIZE_M),
+                         PL.FEATURE_SCHEMA, job_dir)
+    n1 = out1.count()
+    man = TileManifest(job_dir)
+    committed = man.committed()
+    assert len(committed) > 0
+    # resume: nothing pending, same output, no recompute
+    fp = {t: r["input_fingerprint"] for t, r in committed.items()}
+    assert man.pending_tiles(tiled, fp) == []
+    out2 = run_tiled_job(spark, tiled, PL.make_tile_kernel(P.TILE_SIZE_M),
+                         PL.FEATURE_SCHEMA, job_dir)
+    assert out2.count() == n1
