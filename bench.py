@@ -1,0 +1,133 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ...} plus derived throughputs (pages/sec, sidewalk segments/sec —
+the BASELINE.json metric).
+
+Synthetic-input generation and artifact warm-up happen before timing so
+the numbers measure engine compute, not one-time fixture creation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from osm_sidewalkreator_spark import params as P
+from osm_sidewalkreator_spark.artifacts import ensure_features
+from osm_sidewalkreator_spark.operators import joins as J
+from osm_sidewalkreator_spark.operators import simsearch as SS
+from osm_sidewalkreator_spark.operators import textops as TX
+from osm_sidewalkreator_spark.pages import ensure_pages_geo, geocode_pages, load_pages
+from osm_sidewalkreator_spark.plans import pipeline as PL
+from osm_sidewalkreator_spark.session import get_spark
+from osm_sidewalkreator_spark.synth import ensure_synth
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app="bench")
+    # ---- untimed setup: synthetic fixtures + cached artifacts ----
+    synth = ensure_synth(sf_dir)
+    ensure_pages_geo(spark, sf_dir)
+    ensure_features(spark, sf_dir)
+    spark.range(10).count()  # JVM/python-worker warm-up
+
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. full sidewalk geometry pipeline (streets -> features)
+    def run_pipeline():
+        feats = PL.generate_features(spark, sf_dir)
+        return {r["kind"]: r["n"] for r in
+                feats.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    kinds = timed("pipeline_features", run_pipeline)
+
+    # 2. geocode + PIP join of all pages into protoblocks (rect truth)
+    pages_geo = spark.read.parquet(str(synth / "pages_geo.parquet"))
+    blocks = spark.read.parquet(str(synth / "blocks.parquet"))
+    n_pages = timed("pip_pages_blocks", lambda: J.pip_join_points_rects(
+        pages_geo.select("url", "x", "y"), blocks,
+        cell_size=P.CELL_SIZE_M).count())
+    counters["pages_joined"] = n_pages
+
+    # 3. kNN pages -> engine sidewalk segments
+    segs = spark.read.parquet(str(synth / "sidewalk_segments.parquet"))
+    counters["sidewalk_segments"] = segs.count()
+    knn_pages = pages_geo.select("url", "x", "y") \
+        .filter(F.col("url").endswith("0"))
+    counters["knn_pages"] = timed("knn_pages_sidewalks", lambda: (
+        J.knn_join_points_segments(knn_pages, segs, k=1,
+                                   max_dist=P.KNN_MAX_DIST,
+                                   cell_size=P.CELL_SIZE_M).count()))
+
+    # 4. DEM kerb slope (raster<->vector join)
+    kerbs = spark.read.parquet(str(synth / "kerbs_xy.parquet"))
+    dem = spark.read.parquet(str(synth / "dem.parquet"))
+    def run_slope():
+        cs = P.DEM_CELL_M
+        k = kerbs.withColumn("cx", F.floor(F.col("x") / cs).cast("int")) \
+                 .withColumn("cy", F.floor(F.col("y") / cs).cast("int"))
+        def d(dx, dy, alias):
+            return dem.select((F.col("cell_x") - dx).alias("cx"),
+                              (F.col("cell_y") - dy).alias("cy"),
+                              F.col("elev_m").alias(alias))
+        j = (k.join(d(1, 0, "e_e"), ["cx", "cy"])
+              .join(d(-1, 0, "e_w"), ["cx", "cy"])
+              .join(d(0, 1, "e_n"), ["cx", "cy"])
+              .join(d(0, -1, "e_s"), ["cx", "cy"]))
+        return j.count()
+    timed("dem_kerb_slope", run_slope)
+
+    # 5. text ops over the driver documents table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counters["documents"] = docs.count()
+    timed("exact_dedup_docs", lambda: TX.exact_dedup(docs).count())
+    timed("minhash_pairs", lambda: TX.minhash_lsh_pairs(docs, 0.5).count())
+    timed("quality_tokens", lambda: TX.quality_score(docs).count())
+
+    # 6. ANN cosine top-k
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("cosine_topk", lambda: SS.cosine_topk_bruteforce(emb).count())
+
+    # 7. relational glue (TPC-H Q1-style)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed("lineitem_pricing", lambda: (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count("*")).count()))
+
+    total = round(sum(timings.values()), 3)
+    pages_rate = round(counters["pages_joined"]
+                       / max(timings["pip_pages_blocks"], 1e-9))
+    seg_rate = round(counters["sidewalk_segments"]
+                     / max(timings["pipeline_features"], 1e-9))
+    result = {
+        "metric": "headline suite wall-clock (sidewalk pipeline + "
+                  "spatial joins + text/ANN ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "pages_per_sec": pages_rate,
+        "sidewalk_segments_per_sec": seg_rate,
+        "counters": counters,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

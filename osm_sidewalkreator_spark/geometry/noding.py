@@ -48,17 +48,27 @@ def _candidate_pairs(segs: np.ndarray, bin_size: float) -> np.ndarray:
     order = np.argsort(cells, kind="stable")
     cells_s = cells[order]
     segs_s = seg_ids[order]
-    # group boundaries
+    # vectorized within-group pair enumeration: for offset d, element i
+    # pairs with i+d when both are in the same cell group (loop runs
+    # max-group-size times, each iteration fully vectorized)
     starts = np.flatnonzero(np.concatenate([[True], cells_s[1:] != cells_s[:-1]]))
-    ends = np.concatenate([starts[1:], [len(cells_s)]])
+    sizes = np.diff(np.concatenate([starts, [len(cells_s)]]))
+    max_run = int(sizes.max()) if len(sizes) else 0
     pairs = []
-    for s, e in zip(starts, ends):
-        m = e - s
-        if m < 2:
-            continue
-        grp = segs_s[s:e]
-        ii, jj = np.triu_indices(m, k=1)
-        pairs.append(np.column_stack([grp[ii], grp[jj]]))
+    # small groups: offset-scan (O(N) slice compare per offset d)
+    small_cap = min(max_run, 32)
+    for d in range(1, small_cap):
+        same = np.flatnonzero(cells_s[:-d] == cells_s[d:])
+        if len(same):
+            pairs.append(np.column_stack([segs_s[same], segs_s[same + d]]))
+    # rare large groups: explicit triangular enumeration
+    if max_run > small_cap:
+        for g in np.flatnonzero(sizes > small_cap):
+            s = starts[g]
+            grp = segs_s[s:s + sizes[g]]
+            ii, jj = np.triu_indices(len(grp), k=1)
+            keep = jj - ii >= small_cap  # offsets < cap already covered
+            pairs.append(np.column_stack([grp[ii[keep]], grp[jj[keep]]]))
     if not pairs:
         return np.empty((0, 2), dtype=np.int64)
     pr = np.concatenate(pairs)

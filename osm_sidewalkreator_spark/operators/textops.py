@@ -88,30 +88,23 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)],
                    F.lit(b)).alias(f"band{b}")
         for b in range(bands)]
-    banded = mins.select("doc_id", *band_cols)
-    cand = None
-    for b2 in range(bands):
-        x = banded.alias("a").join(
-            banded.alias("b"),
-            (F.col(f"a.band{b2}") == F.col(f"b.band{b2}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))) \
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"))
-        cand = x if cand is None else cand.unionByName(x)
-    cand = cand.distinct()
-    # exact verification of the candidate set
-    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
-    exa = ex.select(F.col("doc_id").alias("id_a"), F.col("shingle"))
-    exb = ex.select(F.col("doc_id").alias("id_b"),
-                    F.col("shingle").alias("shingle_b"))
-    inter = (cand.join(exa, "id_a").join(exb, "id_b")
-        .filter(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard", F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 9))
+    # one (band_idx, band_key) pair list -> single equi-join, one shuffle
+    banded = mins.select("doc_id", F.posexplode(
+        F.array(*band_cols)).alias("band_idx", "band_key"))
+    cand = (banded.alias("a").join(
+        banded.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct())
+    # exact verification: shingle arrays joined per pair, JVM-side
+    # array_intersect (no second explode join)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    paired = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (paired.withColumn("jaccard", F.round(inter / union, 9))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 

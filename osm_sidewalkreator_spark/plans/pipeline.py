@@ -197,7 +197,14 @@ def generate_features(spark: SparkSession, sf_dir: str,
             F.least("ax", "bx"), F.least("ay", "by"),
             F.greatest("ax", "bx"), F.greatest("ay", "by"),
             tile_size, pad=halo)))
-    return (tiled.groupBy("tile")
+    # Explicit partition count: the tile groups are tiny in BYTES but
+    # heavy in COMPUTE, so AQE's size-based partition coalescing would
+    # serialize the expensive kernels onto one task. An explicit
+    # repartition(n, tile) pins the exchange (AQE leaves user-specified
+    # counts alone) and applyInPandas reuses the clustering.
+    n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
+    return (tiled.repartition(n_part, "tile")
+            .groupBy("tile")
             .applyInPandas(make_tile_kernel(tile_size), FEATURE_SCHEMA))
 
 
