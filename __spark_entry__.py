@@ -198,6 +198,25 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def q_tags_flatten(spark, sf_dir):
+    """S3: HSTORE/map tag flatten — hot-key promotion to a column
+    (osm_fetch.py:264-293 semantics via element_at)."""
+    st = PL.load_streets(spark, sf_dir)
+    return st.select(
+        "osm_id",
+        F.coalesce(F.element_at("tags", "footway"), F.lit(""))
+         .alias("footway_tag"))
+
+
+def q_events_streaming(spark, sf_dir):
+    """Structured Streaming path: watermarked tumbling window counts,
+    run via Trigger.AvailableNow (equals GROUP BY date_trunc on bounded
+    input — same oracle as the batch op)."""
+    from osm_sidewalkreator_spark.streaming.events_stream import (
+        run_events_stream)
+    return run_events_stream(spark, sf_dir)
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     return TX.exact_dedup(_docs(spark, sf_dir))
 
@@ -305,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_bytes": q_html_bytes,
         "q_media_features": q_media_features,
         "q_geocode_pages": q_geocode_pages,
+        "q_tags_flatten": q_tags_flatten,
+        "q_events_streaming": q_events_streaming,
         "q_exact_dedup_docs": q_exact_dedup_docs,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_minhash_pairs": q_minhash_pairs,
@@ -471,6 +492,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_html_bytes": f"""
             SELECT url, octet_length(html) AS n_bytes FROM {pages}
+        """,
+        "q_tags_flatten": f"""
+            SELECT osm_id,
+                   coalesce(tags['footway'][1], '') AS footway_tag
+            FROM {streets}
+        """,
+        "q_events_streaming": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('minute', ts)) AS BIGINT)
+                     AS minute_epoch,
+                   count(*) AS n,
+                   sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+            FROM events GROUP BY 1, 2
         """,
         "q_exact_dedup_docs": """
             SELECT min(doc_id) AS keeper_id, count(*) AS dup_count

@@ -261,18 +261,230 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
     return crossings, kerbs
 
 
+# ---------- linework utilities ----------
+
+def merge_touching_lines(segs: np.ndarray, snap: float = noding.SNAP
+                         ) -> list[np.ndarray]:
+    """linemerge (A3, ``native:mergelines`` via
+    ``generic_functions.py:189-192``): chain segments through degree-2
+    vertices into maximal polylines; junction (degree>2) vertices stay
+    breakpoints."""
+    if len(segs) == 0:
+        return []
+    verts, evi = faces.build_vertices(segs, snap)
+    deg = np.bincount(evi.ravel(), minlength=len(verts))
+    # adjacency: vertex -> list of (edge, other_vertex)
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for e, (u, v) in enumerate(evi):
+        if u == v:
+            continue
+        adj.setdefault(int(u), []).append((e, int(v)))
+        adj.setdefault(int(v), []).append((e, int(u)))
+    used = np.zeros(len(segs), dtype=bool)
+    out = []
+    order = np.lexsort((verts[:, 1], verts[:, 0]))
+    for v0 in order:
+        v0 = int(v0)
+        if deg[v0] == 2:
+            continue  # chain interiors handled from their ends
+        for e0, v1 in adj.get(v0, []):
+            if used[e0]:
+                continue
+            chain = [v0, v1]
+            used[e0] = True
+            prev, cur = v0, v1
+            while deg[cur] == 2:
+                nxt = [(e, w) for e, w in adj[cur] if not used[e]]
+                if not nxt:
+                    break
+                e, w = nxt[0]
+                used[e] = True
+                chain.append(w)
+                prev, cur = cur, w
+            out.append(verts[chain])
+    # pure cycles (all degree-2): walk remaining edges
+    for e0 in range(len(segs)):
+        if used[e0] or evi[e0, 0] == evi[e0, 1]:
+            continue
+        u, v = int(evi[e0, 0]), int(evi[e0, 1])
+        chain = [u, v]
+        used[e0] = True
+        cur = v
+        while cur != u:
+            nxt = [(e, w) for e, w in adj[cur] if not used[e]]
+            if not nxt:
+                break
+            e, w = nxt[0]
+            used[e] = True
+            chain.append(w)
+            cur = w
+        out.append(verts[chain])
+    return out
+
+
+def clip_lines_outside_polygons(line_segs: np.ndarray,
+                                member_sets: list,
+                                snap: float = noding.SNAP) -> np.ndarray:
+    """Difference of lines minus polygon union (J3 applied to sidewalk
+    lines: ``excluding_exclusion_zones`` osm_sidewalkreator.py:2250-2259).
+
+    ``member_sets`` are ConvexSet layers covering the exclusion region.
+    Lines are noded against the members' boundary edges; pieces whose
+    midpoint is covered are dropped.
+    """
+    if len(line_segs) == 0 or not member_sets:
+        return line_segs
+    bnd = np.concatenate([
+        morph.polys_boundary_edges(cs.polys) for cs in member_sets
+        if len(cs.polys)]) if member_sets else np.empty((0, 4))
+    allseg = np.vstack([line_segs, bnd])
+    noded, parent = noding.node_segments(allseg, snap)
+    own = parent < len(line_segs)
+    noded = noded[own]
+    mx = (noded[:, 0] + noded[:, 2]) / 2
+    my = (noded[:, 1] + noded[:, 3]) / 2
+    covered = np.zeros(len(noded), dtype=bool)
+    for cs in member_sets:
+        pi, _si, depth, _m = cs.query(mx, my, pad=0.0)
+        covered[pi[depth > 0]] = True
+    return noded[~covered]
+
+
+def single_sided_zone(segs: np.ndarray, dists: np.ndarray,
+                      left: bool) -> np.ndarray:
+    """Single-sided rectangle zone per segment (G2,
+    ``QgsGeometry.singleSidedBuffer`` osm_sidewalkreator.py:2016-2083).
+
+    Returns (n,4,2) CCW quads on the left/right side of each segment.
+    """
+    segs = np.asarray(segs, dtype=np.float64)
+    dists = np.broadcast_to(np.asarray(dists, dtype=np.float64),
+                            (len(segs),))
+    ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = bx - ax, by - ay
+    ln = np.hypot(dx, dy)
+    ln = np.where(ln == 0, 1.0, ln)
+    s = 1.0 if left else -1.0
+    nx = -dy / ln * dists * s
+    ny = dx / ln * dists * s
+    if left:
+        quad = [(ax, ay), (bx, by), (bx + nx, by + ny), (ax + nx, ay + ny)]
+    else:  # keep CCW orientation when offsetting right
+        quad = [(bx, by), (ax, ay), (ax + nx, ay + ny), (bx + nx, by + ny)]
+    return np.stack([np.stack(q, axis=-1) for q in quad], axis=1)
+
+
+def sidewalk_tag_zones(segs: np.ndarray, widths: np.ndarray,
+                       sidewalk: np.ndarray, s_left: np.ndarray,
+                       s_right: np.ndarray, s_both: np.ndarray,
+                       d_to_add: float = P.D_TO_ADD_TO_EACH_SIDE):
+    """Sure / exclusion zones from OSM sidewalk tags (G21,
+    ``sidewalk_generation_logic.py:436-588``).
+
+    half_width = width/2 + d_to_add/2 + 0.5 (tag_buffer_dist of the
+    reference). Returns (sure_polys, exclusion_polys) as (n,V,2) arrays
+    (both-sided zones are the two single-sided quads).
+    """
+    n = len(segs)
+
+    def _norm(a):
+        if a is None:
+            return np.full(n, "", dtype=object)
+        return np.asarray([x if x is not None else "" for x in a],
+                          dtype=object)
+
+    sidewalk = _norm(sidewalk)
+    s_left = _norm(s_left)
+    s_right = _norm(s_right)
+    s_both = _norm(s_both)
+    tag_dist = np.asarray(widths, dtype=np.float64) / 2 + d_to_add / 2 + 0.5
+    sure, excl = [], []
+    for i in range(len(segs)):
+        sw = sidewalk[i] or ""
+        sl = s_left[i] or ""
+        sr = s_right[i] or ""
+        sb = s_both[i] or ""
+        seg = segs[i:i + 1]
+        d = tag_dist[i:i + 1]
+        both = [single_sided_zone(seg, d, True)[0],
+                single_sided_zone(seg, d, False)[0]]
+        if sw == "no" or sb == "no":
+            excl.extend(both)
+        elif sw == "left" or sl == "yes":
+            sure.append(single_sided_zone(seg, d, True)[0])
+            excl.append(single_sided_zone(seg, d, False)[0])
+        elif sw == "right" or sr == "yes":
+            sure.append(single_sided_zone(seg, d, False)[0])
+            excl.append(single_sided_zone(seg, d, True)[0])
+        elif sl == "no":
+            excl.append(single_sided_zone(seg, d, True)[0])
+            if sr == "yes":
+                sure.append(single_sided_zone(seg, d, False)[0])
+        elif sr == "no":
+            excl.append(single_sided_zone(seg, d, False)[0])
+            if sl == "yes":
+                sure.append(single_sided_zone(seg, d, True)[0])
+        elif sw in ("both", "yes") or sb == "yes":
+            sure.extend(both)
+        # untagged: default sure zone (reference :569-575)
+        elif not (sw or sl or sr or sb):
+            sure.extend(both)
+    return sure, excl
+
+
 # ---------- assembled per-tile pipeline ----------
 
-def tile_pipeline(segs: np.ndarray, widths: np.ndarray) -> dict:
+def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
+                  sidewalk_tags: dict | None = None) -> dict:
     """Full geometry pipeline for one tile's street segments (local TM).
 
-    Returns dict with protoblock rings, sidewalk rings, crossings, kerbs.
+    ``sidewalk_tags``: optional dict of per-input-segment string arrays
+    (keys ``sidewalk, sidewalk_left, sidewalk_right, sidewalk_both``) for
+    the sure/exclusion-zone stage (G21/G22). Stage order follows the
+    reference: rings -> exclusion difference -> protoblock filter ->
+    crossings on the final lines.
+
+    Returns dict with protoblock rings, sidewalk polylines, crossings,
+    kerbs, and the zone polygon lists.
     """
     noded, w = split_streets(segs, widths)
     blocks = protoblocks(noded)
     sw_rings, _ext = sidewalk_rings(noded, w)
-    sw_segs = morph.rings_to_edges(sw_rings)
+
+    # G24: keep rings intersecting the protoblock area (+0.5 m buffer in
+    # the reference; rings lie strictly inside their block, so the
+    # representative-vertex PIP is the same predicate here)
+    if blocks:
+        kept_rings = []
+        for r in sw_rings:
+            rep = r[np.lexsort((r[:, 1], r[:, 0]))[0]]
+            if any(core.points_in_ring(rep[None, 0], rep[None, 1], b)[0]
+                   for b in blocks):
+                kept_rings.append(r)
+        sw_rings = kept_rings
+
+    sure_zones: list[np.ndarray] = []
+    excl_zones: list[np.ndarray] = []
+    if sidewalk_tags is not None:
+        sure_zones, excl_zones = sidewalk_tag_zones(
+            segs, widths,
+            sidewalk_tags.get("sidewalk"), sidewalk_tags.get("sidewalk_left"),
+            sidewalk_tags.get("sidewalk_right"),
+            sidewalk_tags.get("sidewalk_both"))
+
+    ring_edges = morph.rings_to_edges(sw_rings)
+    if excl_zones:
+        excl_set = morph.ConvexSet(morph._pad_polys(excl_zones))
+        kept = clip_lines_outside_polygons(ring_edges, [excl_set])
+        sidewalk_lines = merge_touching_lines(kept)
+        sw_segs = kept
+    else:
+        sidewalk_lines = merge_touching_lines(ring_edges) if len(ring_edges) \
+            else []
+        sw_segs = ring_edges
+
     crossings, kerbs = crossings_and_kerbs(noded, w, sw_segs)
-    return {"protoblocks": blocks, "sidewalks": sw_rings,
+    return {"protoblocks": blocks, "sidewalks": sidewalk_lines,
             "crossings": crossings, "kerbs": kerbs,
+            "sure_zones": sure_zones, "exclusion_zones": excl_zones,
             "noded": noded, "noded_widths": w}

@@ -86,6 +86,7 @@ def street_segments_tm(streets: DataFrame) -> DataFrame:
     seg = tm.withColumn("seg", F.explode(st_explode_segments("geom_tm")))
     return seg.select(
         "osm_id", "highway", F.col("width_m").alias("width"),
+        "sidewalk", "sidewalk_left", "sidewalk_right", "sidewalk_both",
         F.col("seg.ax").alias("ax"), F.col("seg.ay").alias("ay"),
         F.col("seg.bx").alias("bx"), F.col("seg.by").alias("by"))
 
@@ -125,7 +126,10 @@ def make_tile_kernel(tile_size: float):
         pdf = pdf.sort_values(["osm_id", "ax", "ay", "bx", "by"])
         segs = pdf[["ax", "ay", "bx", "by"]].to_numpy(dtype=np.float64)
         widths = pdf["width"].to_numpy(dtype=np.float64)
-        out = kernels.tile_pipeline(segs, widths)
+        tags = {c: pdf[c].tolist() for c in
+                ("sidewalk", "sidewalk_left", "sidewalk_right",
+                 "sidewalk_both") if c in pdf.columns}
+        out = kernels.tile_pipeline(segs, widths, tags or None)
         rows = []
 
         def emit(kind, fid, geom, length, area, ref_id, cx, cy):
@@ -154,15 +158,16 @@ def make_tile_kernel(tile_size: float):
 
         swr = sorted(out["sidewalks"],
                      key=lambda r: (round(r[:, 0].min(), 6),
-                                    round(r[:, 1].min(), 6)))
-        for i, ring in enumerate(swr):
-            cx, cy = core.ring_centroid(ring)
-            if not _owns(cx, cy, b):
+                                    round(r[:, 1].min(), 6),
+                                    round(r[:, 0].max(), 6), len(r)))
+        for i, line in enumerate(swr):
+            # ownership representative: lexicographically smallest vertex
+            rep = line[np.lexsort((line[:, 1], line[:, 0]))[0]]
+            if not _owns(float(rep[0]), float(rep[1]), b):
                 continue
-            closed = np.vstack([ring, ring[:1]])
-            emit("sidewalk", fid_of(2, i), wkb.linestring_wkb(closed),
-                 core.ring_perimeter(ring), abs(core.ring_signed_area(ring)),
-                 None, cx, cy)
+            emit("sidewalk", fid_of(2, i), wkb.linestring_wkb(line),
+                 core.polyline_length(line), None, None,
+                 float(rep[0]), float(rep[1]))
 
         for i, c in enumerate(out["crossings"]):
             cx, cy = float(c["center"][0]), float(c["center"][1])

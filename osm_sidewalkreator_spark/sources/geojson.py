@@ -1,0 +1,86 @@
+"""GeoJSON export (S4) and multi-layer merge (S5).
+
+Reference: per-layer reproject-to-4326 + OGR write
+(``generic_functions.py:404-413`` used at
+``osm_sidewalkreator.py:3737-3755``) and dict-level FeatureCollection
+merge (``merge_geojsons`` ``generic_functions.py:1589-1606``). Here each
+feature row becomes a GeoJSON Feature string built JVM-side-adjacent
+(pandas UDF for coordinate extraction, ``to_json``-style assembly), and
+the merged JOSM-ready file is the union of the per-kind layers —
+``unionByName`` + single-file collect, the Spark analog of the
+reference's features-array concat.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geometry import wkb
+
+# final OSM tags per kind (osm_sidewalkreator.py:1149-1173)
+KIND_TAGS = {
+    "sidewalk": {"highway": "footway", "footway": "sidewalk"},
+    "crossing": {"highway": "footway", "footway": "crossing"},
+    "kerb": {"barrier": "kerb"},
+    "protoblock": {},
+}
+
+
+@F.pandas_udf(T.StringType())
+def _geom_geojson(col: pd.Series) -> pd.Series:
+    out = []
+    for blob in col:
+        t, parts = wkb.decode(blob)
+        if t == wkb.POINT:
+            g = {"type": "Point",
+                 "coordinates": [round(float(parts[0][0, 0]), 7),
+                                 round(float(parts[0][0, 1]), 7)]}
+        elif t == wkb.LINESTRING:
+            g = {"type": "LineString",
+                 "coordinates": [[round(float(x), 7), round(float(y), 7)]
+                                 for x, y in parts[0]]}
+        elif t in (wkb.POLYGON, wkb.MULTIPOLYGON):
+            rings = wkb.decode_polygons(blob)[0]
+            g = {"type": "Polygon",
+                 "coordinates": [[[round(float(x), 7), round(float(y), 7)]
+                                  for x, y in r] for r in rings]}
+        else:
+            g = {"type": "GeometryCollection", "geometries": []}
+        out.append(json.dumps(g, separators=(",", ":")))
+    return pd.Series(out)
+
+
+def features_to_geojson_rows(features_4326: DataFrame) -> DataFrame:
+    """One GeoJSON Feature string per row, tagged per kind."""
+    tag_map = F.create_map(*[
+        F.lit(x) for kind, tags in KIND_TAGS.items()
+        for x in (kind, json.dumps(tags, separators=(",", ":")))])
+    return features_4326.select(
+        "kind", "fid",
+        F.concat(
+            F.lit('{"type":"Feature","id":'), F.col("fid").cast("string"),
+            F.lit(',"properties":'),
+            F.coalesce(tag_map[F.col("kind")], F.lit("{}")),
+            F.lit(',"geometry":'), _geom_geojson("geometry"),
+            F.lit("}")).alias("feature_json"))
+
+
+def write_merged_geojson(features_4326: DataFrame, path: str,
+                         kinds: tuple = ("sidewalk", "crossing", "kerb")):
+    """JOSM-ready merged FeatureCollection (S5 semantics): the union of
+    the requested layers in one file."""
+    rows = (features_to_geojson_rows(features_4326)
+            .filter(F.col("kind").isin(*kinds))
+            .orderBy("kind", "fid")
+            .select("feature_json").collect())
+    doc = ('{"type":"FeatureCollection","features":[\n'
+           + ",\n".join(r["feature_json"] for r in rows)
+           + "\n]}")
+    with open(path, "w") as f:
+        f.write(doc)
+    return len(rows)
