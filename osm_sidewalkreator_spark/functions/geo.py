@@ -166,6 +166,25 @@ _SEG_SCHEMA = T.ArrayType(T.StructType([
 
 
 @pandas_udf(_SEG_SCHEMA)
+def st_explode_boundary_segments(col: pd.Series) -> pd.Series:
+    """(Multi)Polygon WKB -> array of boundary 2-point segments (G7
+    boundary extraction + segment explode, for distance kernels)."""
+    out = []
+    for blob in col:
+        segs = []
+        for rings in wkb.decode_polygons(blob):
+            for r in rings:
+                closed = np.vstack([r, r[:1]]) if not np.array_equal(
+                    r[0], r[-1]) else r
+                s = core.explode_polyline_to_segments(closed)
+                segs.extend({"ax": float(a), "ay": float(b),
+                             "bx": float(c), "by": float(d)}
+                            for a, b, c, d in s)
+        out.append(segs)
+    return pd.Series(out)
+
+
+@pandas_udf(_SEG_SCHEMA)
 def st_explode_segments(col: pd.Series) -> pd.Series:
     """(Multi)LineString WKB -> array of 2-point segments (to explode)."""
     out = []

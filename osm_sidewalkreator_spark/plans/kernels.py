@@ -95,6 +95,88 @@ def protoblocks(noded_segs: np.ndarray, min_area: float = 1.0
     return faces.polygonize(noded_segs, min_area=min_area)
 
 
+# ---------- building-distance width shrink ----------
+
+def min_segseg_dists(asegs: np.ndarray, bsegs: np.ndarray,
+                     chunk: int = 64) -> np.ndarray:
+    """Min distance from each segment in ``asegs`` to ANY segment in
+    ``bsegs`` (0 when they intersect). Chunked pairwise broadcast."""
+    n = len(asegs)
+    out = np.full(n, np.inf)
+    if len(bsegs) == 0 or n == 0:
+        return out
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        A = asegs[s:e]
+        # endpoint-to-segment distances both ways (T, M)
+        d1 = _pts_to_segs(A[:, 0], A[:, 1], bsegs)
+        d2 = _pts_to_segs(A[:, 2], A[:, 3], bsegs)
+        d3 = _pts_to_segs_rev(bsegs[:, 0], bsegs[:, 1], A)
+        d4 = _pts_to_segs_rev(bsegs[:, 2], bsegs[:, 3], A)
+        d = np.minimum(np.minimum(d1, d2),
+                       np.minimum(d3.T, d4.T))
+        # zero out crossing pairs
+        cross = _segs_intersect_matrix(A, bsegs)
+        d[cross] = 0.0
+        out[s:e] = d.min(axis=1)
+    return out
+
+
+def _pts_to_segs(px, py, segs):
+    """(T,) points vs (M,) segments -> (T, M) distances."""
+    ax, ay = segs[:, 0], segs[:, 1]
+    dx = segs[:, 2] - ax
+    dy = segs[:, 3] - ay
+    ll = dx * dx + dy * dy
+    ll_safe = np.where(ll == 0, 1.0, ll)
+    t = ((px[:, None] - ax) * dx + (py[:, None] - ay) * dy) / ll_safe
+    t = np.where(ll == 0, 0.0, np.clip(t, 0.0, 1.0))
+    cx = ax + t * dx
+    cy = ay + t * dy
+    return np.hypot(px[:, None] - cx, py[:, None] - cy)
+
+
+def _pts_to_segs_rev(px, py, segs):
+    return _pts_to_segs(px, py, segs)
+
+
+def _segs_intersect_matrix(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(T,M) proper/touching intersection test."""
+    a1x, a1y, b1x, b1y = (A[:, i][:, None] for i in range(4))
+    a2x, a2y, b2x, b2y = (B[:, i][None, :] for i in range(4))
+    d1x, d1y = b1x - a1x, b1y - a1y
+    d2x, d2y = b2x - a2x, b2y - a2y
+    denom = d1x * d2y - d1y * d2x
+    ex, ey = a2x - a1x, a2y - a1y
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (ex * d2y - ey * d2x) / denom
+        u = (ex * d1y - ey * d1x) / denom
+    return ((np.abs(denom) > 1e-12) & (t >= 0) & (t <= 1)
+            & (u >= 0) & (u <= 1))
+
+
+def shrink_widths_by_buildings(segs: np.ndarray, widths: np.ndarray,
+                               building_segs: np.ndarray,
+                               min_d: float = P.MIN_D_TO_BUILDING,
+                               d_to_add: float = P.D_TO_ADD_TO_EACH_SIDE,
+                               min_width: float = P.MINIMAL_BUFFER
+                               ) -> np.ndarray:
+    """G20 building-overlap width shrink (osm_sidewalkreator.py:1843-1893):
+
+    ac = w/2 + d_to_add/2; dif = (dist_to_buildings - min_d) - ac;
+    if dif < 0 -> new_width = max(2*(ac + dif), min_width).
+    """
+    widths = np.asarray(widths, dtype=np.float64).copy()
+    if len(building_segs) == 0 or len(segs) == 0:
+        return widths
+    d = min_segseg_dists(np.asarray(segs, dtype=np.float64),
+                         np.asarray(building_segs, dtype=np.float64))
+    ac = widths / 2 + d_to_add / 2
+    dif = (d - min_d) - ac
+    new_w = np.maximum(2 * (ac + dif), min_width)
+    return np.where(dif < 0, new_w, widths)
+
+
 # ---------- sidewalk generation ----------
 
 def sidewalk_rings(noded_segs: np.ndarray, widths: np.ndarray,
@@ -263,16 +345,28 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
 
 # ---------- linework utilities ----------
 
-def merge_touching_lines(segs: np.ndarray, snap: float = noding.SNAP
+def merge_touching_lines(segs: np.ndarray, snap: float = noding.SNAP,
+                         break_at: np.ndarray | None = None
                          ) -> list[np.ndarray]:
     """linemerge (A3, ``native:mergelines`` via
     ``generic_functions.py:189-192``): chain segments through degree-2
     vertices into maximal polylines; junction (degree>2) vertices stay
-    breakpoints."""
+    breakpoints, as do any explicit ``break_at`` points (used by the
+    split-with-lines refinements, where cut locations must stay ends)."""
     if len(segs) == 0:
         return []
     verts, evi = faces.build_vertices(segs, snap)
     deg = np.bincount(evi.ravel(), minlength=len(verts))
+    if break_at is not None and len(break_at):
+        q = np.round(verts / snap).astype(np.int64)
+        vk = set(map(tuple, q))
+        bq = np.round(np.asarray(break_at, dtype=np.float64) / snap
+                      ).astype(np.int64)
+        brk = set(map(tuple, bq)) & vk
+        if brk:
+            lookup = {tuple(k): i for i, k in enumerate(map(tuple, q))}
+            for b in brk:
+                deg[lookup[b]] = 99  # force breakpoint
     # adjacency: vertex -> list of (edge, other_vertex)
     adj: dict[int, list[tuple[int, int]]] = {}
     for e, (u, v) in enumerate(evi):
@@ -435,18 +529,29 @@ def sidewalk_tag_zones(segs: np.ndarray, widths: np.ndarray,
 # ---------- assembled per-tile pipeline ----------
 
 def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
-                  sidewalk_tags: dict | None = None) -> dict:
+                  sidewalk_tags: dict | None = None,
+                  building_segs: np.ndarray | None = None,
+                  pois: np.ndarray | None = None,
+                  refine_lines: bool = True) -> dict:
     """Full geometry pipeline for one tile's street segments (local TM).
 
     ``sidewalk_tags``: optional dict of per-input-segment string arrays
     (keys ``sidewalk, sidewalk_left, sidewalk_right, sidewalk_both``) for
-    the sure/exclusion-zone stage (G21/G22). Stage order follows the
-    reference: rings -> exclusion difference -> protoblock filter ->
-    crossings on the final lines.
+    the sure/exclusion-zone stage (G21/G22). ``building_segs``: building
+    footprint boundary segments for the G20 width shrink. ``pois``:
+    (m,2) POI points for per-block Voronoi splitting (G11).
+
+    Stage order follows the reference lifecycle (SURVEY.md §3.1-3.2):
+    width shrink -> split -> protoblocks -> buffer/close/rings ->
+    exclusion difference -> protoblock filter -> crossings/kerbs ->
+    snap -> corner + Voronoi splitting -> vertex dedup -> small-stretch
+    merge.
 
     Returns dict with protoblock rings, sidewalk polylines, crossings,
     kerbs, and the zone polygon lists.
     """
+    if building_segs is not None and len(building_segs):
+        widths = shrink_widths_by_buildings(segs, widths, building_segs)
     noded, w = split_streets(segs, widths)
     blocks = protoblocks(noded)
     sw_rings, _ext = sidewalk_rings(noded, w)
@@ -484,6 +589,41 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
         sw_segs = ring_edges
 
     crossings, kerbs = crossings_and_kerbs(noded, w, sw_segs)
+
+    if refine_lines and sidewalk_lines:
+        from . import refine
+        # snap sidewalks to crossing lines (osm_sidewalkreator.py:1792-1796)
+        if crossings:
+            cross_segs = np.concatenate([
+                core.explode_polyline_to_segments(c["coords"])
+                for c in crossings])
+            sidewalk_lines = refine.snap_lines_to_reference(
+                sidewalk_lines, cross_segs, tol=P.SNAP_DISJOINTED_TOL)
+        # protoblock-corner splitting (G13)
+        if blocks:
+            spokes = np.concatenate([refine.corner_spokes(b)
+                                     for b in blocks])
+            sidewalk_lines = refine.split_lines_with_lines(
+                sidewalk_lines, spokes)
+        # per-block Voronoi POI splitting (G11)
+        if pois is not None and len(pois) >= 3 and blocks:
+            for b in blocks:
+                inside = core.points_in_ring(pois[:, 0], pois[:, 1], b)
+                if inside.sum() >= 3:
+                    in_block, out_block = [], []
+                    for ln in sidewalk_lines:
+                        rep = ln[len(ln) // 2]
+                        (in_block if core.points_in_ring(
+                            rep[None, 0], rep[None, 1], b)[0]
+                         else out_block).append(ln)
+                    split = refine.voronoi_split_block(
+                        in_block, pois[inside], b)
+                    sidewalk_lines = out_block + split
+        # duplicate-vertex removal (G14, tol 0.1) + small-stretch merge
+        sidewalk_lines = [core.dedup_vertices(ln, P.DUPLICATE_POINTS_TOL)
+                          for ln in sidewalk_lines]
+        sidewalk_lines = refine.merge_small_stretches(sidewalk_lines)
+
     return {"protoblocks": blocks, "sidewalks": sidewalk_lines,
             "crossings": crossings, "kerbs": kerbs,
             "sure_zones": sure_zones, "exclusion_zones": excl_zones,

@@ -117,11 +117,14 @@ def _owns(x: float, y: float, b) -> bool:
 
 
 def make_tile_kernel(tile_size: float):
-    """applyInPandas kernel: run the per-tile geometry pipeline and emit
+    """Cogrouped applyInPandas kernel: run the per-tile geometry pipeline
+    (streets cogrouped with building-segment/POI context) and emit
     kind-tagged features owned by this tile's core square."""
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, pdf: pd.DataFrame, ctx: pd.DataFrame) -> pd.DataFrame:
         tile = int(key[0])
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in FEATURE_SCHEMA])
         b = _tile_bounds(tile, tile_size)
         pdf = pdf.sort_values(["osm_id", "ax", "ay", "bx", "by"])
         segs = pdf[["ax", "ay", "bx", "by"]].to_numpy(dtype=np.float64)
@@ -129,7 +132,18 @@ def make_tile_kernel(tile_size: float):
         tags = {c: pdf[c].tolist() for c in
                 ("sidewalk", "sidewalk_left", "sidewalk_right",
                  "sidewalk_both") if c in pdf.columns}
-        out = kernels.tile_pipeline(segs, widths, tags or None)
+        building_segs = None
+        pois = None
+        if ctx is not None and len(ctx):
+            bmask = ctx["ckind"] == "bseg"
+            if bmask.any():
+                building_segs = ctx.loc[bmask, ["ax", "ay", "bx", "by"]] \
+                    .to_numpy(dtype=np.float64)
+            pmask = ctx["ckind"] == "poi"
+            if pmask.any():
+                pois = ctx.loc[pmask, ["ax", "ay"]].to_numpy(dtype=np.float64)
+        out = kernels.tile_pipeline(segs, widths, tags or None,
+                                    building_segs=building_segs, pois=pois)
         rows = []
 
         def emit(kind, fid, geom, length, area, ref_id, cx, cy):
@@ -188,11 +202,43 @@ def make_tile_kernel(tile_size: float):
     return kernel
 
 
+def load_context_tiled(spark: SparkSession, sf_dir: str,
+                       tile_size: float, halo: float) -> DataFrame:
+    """Building boundary segments + POI points, tile-assigned with halo.
+
+    Addresses double as the splitting POIs (reference merges building
+    centroids and address points, osm_sidewalkreator.py:2908-2931).
+    """
+    from ..functions.geo import st_explode_boundary_segments
+    synth = ensure_synth(sf_dir)
+    buildings = spark.read.parquet(str(synth / "buildings.parquet"))
+    bsegs = (buildings
+             .withColumn("seg", F.explode(
+                 st_explode_boundary_segments("geometry")))
+             .select(F.lit("bseg").alias("ckind"),
+                     F.col("seg.ax").alias("ax"), F.col("seg.ay").alias("ay"),
+                     F.col("seg.bx").alias("bx"), F.col("seg.by").alias("by")))
+    addrs = spark.read.parquet(str(synth / "addresses.parquet")) \
+        .select(F.lit("poi").alias("ckind"),
+                F.col("x").alias("ax"), F.col("y").alias("ay"),
+                F.col("x").alias("bx"), F.col("y").alias("by"))
+    ctx = bsegs.unionByName(addrs)
+    return ctx.withColumn(
+        "tile", F.explode(cover_cells(
+            F.least("ax", "bx"), F.least("ay", "by"),
+            F.greatest("ax", "bx"), F.greatest("ay", "by"),
+            tile_size, pad=halo)))
+
+
 def generate_features(spark: SparkSession, sf_dir: str,
                       tile_size: float = P.TILE_SIZE_M,
                       halo: float = P.TILE_HALO_M) -> DataFrame:
     """End-to-end: streets -> per-tile sidewalk/crossing/kerb/protoblock
-    features (local-TM WKB) with halo-overlap tiling + ownership dedup."""
+    features (local-TM WKB) with halo-overlap tiling + ownership dedup.
+
+    Streets are cogrouped per tile with building segments + POIs (the
+    context side of the width-shrink and Voronoi-splitting stages).
+    """
     streets = load_streets(spark, sf_dir)
     streets = clip_to_aoi(streets, spark, sf_dir)
     streets = assign_widths(streets)
@@ -202,14 +248,15 @@ def generate_features(spark: SparkSession, sf_dir: str,
             F.least("ax", "bx"), F.least("ay", "by"),
             F.greatest("ax", "bx"), F.greatest("ay", "by"),
             tile_size, pad=halo)))
+    ctx = load_context_tiled(spark, sf_dir, tile_size, halo)
     # Explicit partition count: the tile groups are tiny in BYTES but
     # heavy in COMPUTE, so AQE's size-based partition coalescing would
     # serialize the expensive kernels onto one task. An explicit
     # repartition(n, tile) pins the exchange (AQE leaves user-specified
-    # counts alone) and applyInPandas reuses the clustering.
+    # counts alone) and the cogroup reuses the clustering.
     n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
-    return (tiled.repartition(n_part, "tile")
-            .groupBy("tile")
+    return (tiled.repartition(n_part, "tile").groupBy("tile")
+            .cogroup(ctx.repartition(n_part, "tile").groupBy("tile"))
             .applyInPandas(make_tile_kernel(tile_size), FEATURE_SCHEMA))
 
 

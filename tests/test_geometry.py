@@ -160,8 +160,31 @@ def test_pipeline_protoblock_count(city_out):
     assert len(city_out["protoblocks"]) == 30
 
 
-def test_pipeline_sidewalk_rings(city_out):
-    assert len(city_out["sidewalks"]) == 30
+def test_pipeline_sidewalk_rings(city):
+    # without refinement: one closed ring per block interior
+    out = kernels.tile_pipeline(*city, refine_lines=False)
+    assert len(out["sidewalks"]) == 30
+
+
+def test_pipeline_refinement_preserves_length(city, city_out):
+    raw = kernels.tile_pipeline(*city, refine_lines=False)
+    raw_len = sum(core.polyline_length(l) for l in raw["sidewalks"])
+    ref_len = sum(core.polyline_length(l) for l in city_out["sidewalks"])
+    # corner splitting multiplies pieces but conserves total length
+    assert len(city_out["sidewalks"]) > len(raw["sidewalks"])
+    assert abs(ref_len - raw_len) / raw_len < 0.005
+
+
+def test_pipeline_building_shrink(city):
+    segs, widths = city
+    bseg = np.array([[50, 0.8, 70, 0.8], [70, 0.8, 70, 20],
+                     [70, 20, 50, 20], [50, 20, 50, 0.8]])
+    out = kernels.tile_pipeline(segs, widths, building_segs=bseg,
+                                refine_lines=False)
+    assert len(out["sidewalks"]) == 30  # geometry still valid
+    # the hugged street's width must have shrunk
+    w = kernels.shrink_widths_by_buildings(segs, widths, bseg)
+    assert (w < widths).any() and (w >= 3.0).all()
 
 
 def test_pipeline_crossing_invariants(city_out):

@@ -156,8 +156,14 @@ def test_checkpoint_resume(spark, tmp_path):
         F.greatest("ax", "bx"), F.greatest("ay", "by"),
         P.TILE_SIZE_M, pad=P.TILE_HALO_M)))
     job_dir = str(tmp_path / "job1")
-    out1 = run_tiled_job(spark, tiled, PL.make_tile_kernel(P.TILE_SIZE_M),
-                         PL.FEATURE_SCHEMA, job_dir)
+    import pandas as pd
+    k3 = PL.make_tile_kernel(P.TILE_SIZE_M)
+    empty_ctx = pd.DataFrame(columns=["ckind", "ax", "ay", "bx", "by"])
+
+    def k2(key, pdf):
+        return k3(key, pdf, empty_ctx)
+
+    out1 = run_tiled_job(spark, tiled, k2, PL.FEATURE_SCHEMA, job_dir)
     n1 = out1.count()
     man = TileManifest(job_dir)
     committed = man.committed()
@@ -165,6 +171,5 @@ def test_checkpoint_resume(spark, tmp_path):
     # resume: nothing pending, same output, no recompute
     fp = {t: r["input_fingerprint"] for t, r in committed.items()}
     assert man.pending_tiles(tiled, fp) == []
-    out2 = run_tiled_job(spark, tiled, PL.make_tile_kernel(P.TILE_SIZE_M),
-                         PL.FEATURE_SCHEMA, job_dir)
+    out2 = run_tiled_job(spark, tiled, k2, PL.FEATURE_SCHEMA, job_dir)
     assert out2.count() == n1
