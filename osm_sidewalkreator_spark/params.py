@@ -82,7 +82,13 @@ MIN_VALID_WIDTH = 0.5               # drop classes below (osm_sidewalkreator.py:
 # --- engine knobs (no reference analog: Spark-scale parameters) ---
 ARC_SEGMENTS_PER_QUADRANT = 5       # buffer arc discretization (QGIS segments=5 default)
 SNAP_GRID = 1e-6                    # coordinate snap grid for noding, m
-TILE_SIZE_M = 1024.0                # per-tile geometry pipeline tile edge, m
-TILE_HALO_M = 256.0                 # halo overlap; must exceed geometric influence radius
+TILE_SIZE_M = 512.0                 # per-tile geometry pipeline tile edge, m
+# halo must exceed the geometric influence radius: half the largest city
+# block (ownership is by centroid/representative point) + max buffer
+# (MAX_SIDEWALK_WIDTH/2 + d_to_add/2) + curve radius + crossing half-span.
+# ~90 m for 100 m blocks; 128 m default. Tile size is the parallelism /
+# skew knob (more tiles = more shuffle keys; halo/tile ratio = overlap
+# overhead, 2.25x at 128/512).
+TILE_HALO_M = 128.0
 CELL_SIZE_M = 128.0                 # join-candidate cell size, m
 DEM_CELL_M = 10.0                   # DEM grid spacing (FIXTURES.md §6)
