@@ -105,7 +105,12 @@ def node_segments(segs: np.ndarray, snap: float = SNAP
     n = len(segs)
     if n == 0:
         return segs, base_parent
-    bin_size = max(float(np.median(lens)) * 2.0, snap * 16)
+    # bin size: 2x median length, but never so small that one long edge
+    # explodes into thousands of cells (mixed tiny-arc/long-straight
+    # inputs are the norm after ring simplification)
+    span = max(float(segs[:, [0, 2]].max() - segs[:, [0, 2]].min()),
+               float(segs[:, [1, 3]].max() - segs[:, [1, 3]].min()), 1e-9)
+    bin_size = max(float(np.median(lens)) * 2.0, span / 128.0, snap * 16)
     pairs = _candidate_pairs(segs, bin_size)
 
     # accumulated split points per segment: (seg_idx, x, y)

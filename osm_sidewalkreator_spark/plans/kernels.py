@@ -25,15 +25,15 @@ from ..geometry import core, faces, morph, noding
 # ---------- street network cleaning ----------
 
 def split_streets(segs: np.ndarray, widths: np.ndarray
-                  ) -> tuple[np.ndarray, np.ndarray]:
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Self-split street segments at all mutual intersections (J5).
 
-    Returns (noded_segs (m,4), widths (m,)). Width (and any other parent
-    attribute) is inherited through the parent index.
+    Returns (noded_segs (m,4), widths (m,), parent_idx (m,)). Width (and
+    any other parent attribute) is inherited through the parent index.
     """
     noded, parent = noding.node_segments(segs)
     noded, parent = noding.dedup_undirected(noded, parent)
-    return noded, np.asarray(widths, dtype=np.float64)[parent]
+    return noded, np.asarray(widths, dtype=np.float64)[parent], parent
 
 
 def endpoint_degrees(segs: np.ndarray, snap: float = noding.SNAP
@@ -248,6 +248,7 @@ def _ray_hits(pA: np.ndarray, pE: np.ndarray, side_segs: np.ndarray
 
 def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
                         sidewalk_segs: np.ndarray,
+                        way_ids: np.ndarray | None = None,
                         search_buffer: float = P.ENDPOINT_SEARCH_BUFFER,
                         min_seg_len: float = P.MIN_SEG_LEN_FOR_CROSSING,
                         kerb_perc: float = P.KERB_PERC,
@@ -262,6 +263,12 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
     half-span (max_w/2 + curve + d_to_add + 0.5) both ways, take the
     nearest sidewalk intersections as A/E, kerbs B/D at ``kerb_perc``
     along A->C and E->C.
+
+    ``way_ids``: optional per-segment parent-way labels. Segments of the
+    SAME way never count as "other streets" at an endpoint — the
+    reference only ever has split points at true junctions, so this
+    keeps pre-split piece joints (scale tiling) and polyline interior
+    vertices from minting spurious crossings.
 
     Returns (crossings, kerbs):
     - crossings: list of dicts {coords (5,2), length, center (2,)}
@@ -294,6 +301,8 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
                 np.full(n, ep[0]), np.full(n, ep[1]), noded_segs)
             near = (d <= search_buffer)
             near[si] = False
+            if way_ids is not None:
+                near &= np.asarray(way_ids) != way_ids[si]
             if not near.any():
                 continue
             inter_widths = widths[near]
@@ -344,6 +353,41 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
 
 
 # ---------- linework utilities ----------
+
+def clip_segments_to_box(segs: np.ndarray, box: tuple,
+                         attrs: list | None = None):
+    """Liang-Barsky clip of segments to an axis-aligned box (vectorized).
+
+    The tile kernel's guard against geometry leaking in from far outside
+    the halo (at planet scale a long way must never be processed whole by
+    every tile). Returns (clipped_segs, keep_index).
+    """
+    segs = np.asarray(segs, dtype=np.float64)
+    if len(segs) == 0:
+        return segs, np.empty(0, dtype=np.int64)
+    x0, y0, x1, y1 = box
+    ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = bx - ax, by - ay
+    t0 = np.zeros(len(segs))
+    t1 = np.ones(len(segs))
+    for p, q in (((-dx), (ax - x0)), ((dx), (x1 - ax)),
+                 ((-dy), (ay - y0)), ((dy), (y1 - ay))):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        ent = (p < 0)
+        t0 = np.where(ent, np.maximum(t0, r), t0)
+        t1 = np.where(p > 0, np.minimum(t1, r), t1)
+        # parallel & outside
+        out = (p == 0) & (q < 0)
+        t0 = np.where(out, 1.0, t0)
+        t1 = np.where(out, 0.0, t1)
+    keep = t0 < t1
+    idx = np.flatnonzero(keep)
+    cl = np.column_stack([ax[keep] + t0[keep] * dx[keep],
+                          ay[keep] + t0[keep] * dy[keep],
+                          ax[keep] + t1[keep] * dx[keep],
+                          ay[keep] + t1[keep] * dy[keep]])
+    return cl, idx
 
 def merge_touching_lines(segs: np.ndarray, snap: float = noding.SNAP,
                          break_at: np.ndarray | None = None
@@ -532,6 +576,7 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
                   sidewalk_tags: dict | None = None,
                   building_segs: np.ndarray | None = None,
                   pois: np.ndarray | None = None,
+                  way_ids: np.ndarray | None = None,
                   refine_lines: bool = True) -> dict:
     """Full geometry pipeline for one tile's street segments (local TM).
 
@@ -552,7 +597,9 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
     """
     if building_segs is not None and len(building_segs):
         widths = shrink_widths_by_buildings(segs, widths, building_segs)
-    noded, w = split_streets(segs, widths)
+    noded, w, parent = split_streets(segs, widths)
+    noded_ways = (np.asarray(way_ids, dtype=object)[parent]
+                  if way_ids is not None else None)
     blocks = protoblocks(noded)
     sw_rings, _ext = sidewalk_rings(noded, w)
 
@@ -588,7 +635,8 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
             else []
         sw_segs = ring_edges
 
-    crossings, kerbs = crossings_and_kerbs(noded, w, sw_segs)
+    crossings, kerbs = crossings_and_kerbs(noded, w, sw_segs,
+                                           way_ids=noded_ways)
 
     if refine_lines and sidewalk_lines:
         from . import refine

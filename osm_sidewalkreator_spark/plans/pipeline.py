@@ -84,11 +84,37 @@ def street_segments_tm(streets: DataFrame) -> DataFrame:
     tm = streets.withColumn(
         "geom_tm", make_transform_udf(CITY_LON0, CITY_LAT0, True)("geometry"))
     seg = tm.withColumn("seg", F.explode(st_explode_segments("geom_tm")))
-    return seg.select(
+    seg = seg.select(
         "osm_id", "highway", F.col("width_m").alias("width"),
         "sidewalk", "sidewalk_left", "sidewalk_right", "sidewalk_both",
         F.col("seg.ax").alias("ax"), F.col("seg.ay").alias("ay"),
         F.col("seg.bx").alias("bx"), F.col("seg.by").alias("by"))
+    # pre-split long segments into <=MAX_PIECE chunks (JVM column math):
+    # a km-long way must not land whole in every tile its bbox covers —
+    # its PIECES have tight bboxes, so tiling stays O(length/tile), not
+    # O(bbox area / tile area). Splitting at interior points does not
+    # change any downstream geometry (noding re-splits anyway).
+    max_piece = 256.0
+    seglen = F.sqrt(F.pow(F.col("bx") - F.col("ax"), 2)
+                    + F.pow(F.col("by") - F.col("ay"), 2))
+    npieces = F.greatest(F.lit(1), F.ceil(seglen / max_piece)).cast("int")
+    seg = (seg.withColumn("np", npieces)
+           .withColumn("pi", F.explode(F.sequence(
+               F.lit(0), F.col("np") - 1).cast("array<int>")))
+           .select(
+               "osm_id", "highway", "width", "sidewalk", "sidewalk_left",
+               "sidewalk_right", "sidewalk_both",
+               (F.col("ax") + (F.col("bx") - F.col("ax"))
+                * F.col("pi") / F.col("np")).alias("nax"),
+               (F.col("ay") + (F.col("by") - F.col("ay"))
+                * F.col("pi") / F.col("np")).alias("nay"),
+               (F.col("ax") + (F.col("bx") - F.col("ax"))
+                * (F.col("pi") + 1) / F.col("np")).alias("nbx"),
+               (F.col("ay") + (F.col("by") - F.col("ay"))
+                * (F.col("pi") + 1) / F.col("np")).alias("nby"))
+           .withColumnRenamed("nax", "ax").withColumnRenamed("nay", "ay")
+           .withColumnRenamed("nbx", "bx").withColumnRenamed("nby", "by"))
+    return seg
 
 
 FEATURE_SCHEMA = T.StructType([
@@ -116,18 +142,28 @@ def _owns(x: float, y: float, b) -> bool:
     return b[0] <= x < b[2] and b[1] <= y < b[3]
 
 
-def make_tile_kernel(tile_size: float):
+def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
     """Cogrouped applyInPandas kernel: run the per-tile geometry pipeline
     (streets cogrouped with building-segment/POI context) and emit
-    kind-tagged features owned by this tile's core square."""
+    kind-tagged features owned by this tile's core square.
+
+    Inputs are clipped to the halo box first: halo > influence radius
+    guarantees owned features are unaffected, and clipping bounds the
+    per-tile work even when a continental-length way's pieces land here.
+    """
 
     def kernel(key, pdf: pd.DataFrame, ctx: pd.DataFrame) -> pd.DataFrame:
         tile = int(key[0])
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in FEATURE_SCHEMA])
         b = _tile_bounds(tile, tile_size)
+        hbox = (b[0] - halo, b[1] - halo, b[2] + halo, b[3] + halo)
         pdf = pdf.sort_values(["osm_id", "ax", "ay", "bx", "by"])
-        segs = pdf[["ax", "ay", "bx", "by"]].to_numpy(dtype=np.float64)
+        raw = pdf[["ax", "ay", "bx", "by"]].to_numpy(dtype=np.float64)
+        segs, kept = kernels.clip_segments_to_box(raw, hbox)
+        if len(segs) == 0:
+            return pd.DataFrame(columns=[f.name for f in FEATURE_SCHEMA])
+        pdf = pdf.iloc[kept]
         widths = pdf["width"].to_numpy(dtype=np.float64)
         tags = {c: pdf[c].tolist() for c in
                 ("sidewalk", "sidewalk_left", "sidewalk_right",
@@ -135,15 +171,17 @@ def make_tile_kernel(tile_size: float):
         building_segs = None
         pois = None
         if ctx is not None and len(ctx):
-            bmask = ctx["ckind"] == "bseg"
+            bmask = (ctx["ckind"] == "bseg").to_numpy()
             if bmask.any():
-                building_segs = ctx.loc[bmask, ["ax", "ay", "bx", "by"]] \
+                bs = ctx.loc[bmask, ["ax", "ay", "bx", "by"]] \
                     .to_numpy(dtype=np.float64)
-            pmask = ctx["ckind"] == "poi"
+                building_segs, _ = kernels.clip_segments_to_box(bs, hbox)
+            pmask = (ctx["ckind"] == "poi").to_numpy()
             if pmask.any():
                 pois = ctx.loc[pmask, ["ax", "ay"]].to_numpy(dtype=np.float64)
-        out = kernels.tile_pipeline(segs, widths, tags or None,
-                                    building_segs=building_segs, pois=pois)
+        out = kernels.tile_pipeline(
+            segs, widths, tags or None, building_segs=building_segs,
+            pois=pois, way_ids=pdf["osm_id"].to_numpy(dtype=object))
         rows = []
 
         def emit(kind, fid, geom, length, area, ref_id, cx, cy):
