@@ -44,7 +44,7 @@ def main():
     timings: dict[str, float] = {}
     counters: dict[str, int] = {}
 
-    def timed(name, fn, repeat: int = 2):
+    def timed(name, fn, repeat: int = 3):
         best, out = None, None
         for _ in range(repeat):
             t0 = time.time()

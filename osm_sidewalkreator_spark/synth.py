@@ -32,7 +32,7 @@ SPACING = 100.0
 SCALES = {
     "sf0.001": {"k": 6, "pages": 10_000},
     "sf0.01": {"k": 12, "pages": 100_000},
-    "sf0.1": {"k": 40, "pages": 1_000_000},
+    "sf0.1": {"k": 120, "pages": 1_000_000},
 }
 
 SYNTH_ROOT = Path(os.environ.get("SPARK_GRAFT_SYNTH_ROOT",
