@@ -422,8 +422,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_street_lengths": f"""
             SELECT highway, count(*) AS n_ways,
-                   sum(CAST(round(sqrt((x2-x1)*(x2-x1)+(y2-y1)*(y2-y1))*1000)
-                       AS BIGINT)) AS total_len_mm
+                   CAST(sum(CAST(round(sqrt((x2-x1)*(x2-x1)+(y2-y1)*(y2-y1))*1000)
+                       AS BIGINT)) AS BIGINT) AS total_len_mm
             FROM {streets} WHERE n_vertices = 2
             GROUP BY highway
         """,
@@ -503,7 +503,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(date_trunc('minute', ts)) AS BIGINT)
                      AS minute_epoch,
                    count(*) AS n,
-                   sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
             FROM events GROUP BY 1, 2
         """,
         "q_exact_dedup_docs": """
@@ -569,16 +569,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(date_trunc('minute', ts)) AS BIGINT)
                      AS minute_epoch,
                    count(*) AS n,
-                   sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
             FROM events GROUP BY 1, 2
         """,
         "q_lineitem_pricing": """
             SELECT l_returnflag, l_linestatus, count(*) AS count_order,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                      AS sum_base_c,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                       AS BIGINT)) AS sum_disc_c
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_c
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
