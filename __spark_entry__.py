@@ -286,7 +286,123 @@ def q_lineitem_pricing(spark, sf_dir):
                        .cast("long")).alias("sum_disc_c")))
 
 
+# golden-fixture parity (reference assets/test_outputs — real-world
+# outputs of the reference's Docker smoke suite; see sources/golden.py)
+
+def _golden_center() -> tuple[float, float]:
+    """Deterministic local-TM origin for the golden crossing layer: the
+    first crossing's first vertex, rounded to 3 decimals (~100 m grid).
+    Center choice shifts TM lengths by < (dist/R)^2/2 ~ 1e-9 relative."""
+    import json as _json
+    from osm_sidewalkreator_spark.sources import golden as G
+    doc = _json.loads(G.golden_path("crossings_polygon").read_text())
+    c0 = doc["features"][0]["geometry"]["coordinates"][0]
+    return round(c0[0], 3), round(c0[1], 3)
+
+
+def q_golden_counts(spark, sf_dir):
+    """Feature counts of every reference smoke output layer."""
+    from osm_sidewalkreator_spark.sources import golden as G
+    return (G.load_all(spark).groupBy("layer", "gtype")
+            .agg(F.count("*").alias("n_features")))
+
+
+def q_golden_kerb_anchor(spark, sf_dir):
+    """Reference contract: each kerb coincides exactly with vertex 1 or 3
+    of its 5-vertex crossing (the kerb_perc interpolation points,
+    osm_sidewalkreator.py:1727-1764)."""
+    from osm_sidewalkreator_spark.sources import golden as G
+    k = G.load_layer(spark, "kerbs_polygon").select(
+        "kerb_id", "crossing_id",
+        F.col("coords")[0][0][0].alias("kx"),
+        F.col("coords")[0][0][1].alias("ky"))
+    c = G.load_layer(spark, "crossings_polygon").select(
+        F.col("crossing_id").alias("cid"),
+        F.size(F.col("coords")[0]).alias("n_vertices"),
+        F.col("coords")[0][1][0].alias("bx"),
+        F.col("coords")[0][1][1].alias("by"),
+        F.col("coords")[0][3][0].alias("dx"),
+        F.col("coords")[0][3][1].alias("dy"))
+    j = k.join(F.broadcast(c), k.crossing_id == c.cid)
+    near_b = (F.abs(F.col("kx") - F.col("bx")) < 1e-9) \
+        & (F.abs(F.col("ky") - F.col("by")) < 1e-9)
+    near_d = (F.abs(F.col("kx") - F.col("dx")) < 1e-9) \
+        & (F.abs(F.col("ky") - F.col("dy")) < 1e-9)
+    return j.select("kerb_id", "crossing_id", "n_vertices",
+                    (near_b | near_d).alias("anchored"))
+
+
+def q_golden_crossing_length(spark, sf_dir):
+    """Reference contract: the golden ``length`` attribute equals the
+    local-TM projected polyline length. Recomputed JVM-side with the
+    engine's spherical TM (higher-order functions, no UDF); ratio folds
+    the spherical-vs-ellipsoidal scale difference (<0.5%) to 1.00."""
+    from osm_sidewalkreator_spark.sources import golden as G
+    from osm_sidewalkreator_spark.geometry.projection import EARTH_R
+    lon0, lat0 = _golden_center()
+    c = G.load_layer(spark, "crossings_polygon")
+    line = F.col("coords")[0]
+    xy = F.transform(
+        line,
+        lambda p: F.struct(
+            (F.lit(EARTH_R) * F.atanh(
+                F.cos(F.radians(p[1]))
+                * F.sin(F.radians(p[0] - F.lit(lon0))))).alias("x"),
+            (F.lit(EARTH_R) * (F.atan2(F.tan(F.radians(p[1])),
+                                       F.cos(F.radians(p[0] - F.lit(lon0))))
+                               - F.radians(F.lit(lat0)))).alias("y")))
+    c = c.withColumn("xy", xy)
+    seglen = F.expr("""
+        aggregate(
+          zip_with(slice(xy, 1, size(xy) - 1), slice(xy, 2, size(xy) - 1),
+                   (a, b) -> sqrt((b.x - a.x) * (b.x - a.x)
+                                + (b.y - a.y) * (b.y - a.y))),
+          cast(0.0 as double), (acc, v) -> acc + v)""")
+    return c.select(
+        "crossing_id",
+        F.round(F.col("length_attr") * 1000).cast("long").alias("attr_mm"),
+        (F.round(seglen / F.col("length_attr"), 2) + 0.0).alias("tm_ratio"))
+
+
 # rows-only geometry outputs (non-SQL-expressible pipeline stages)
+
+def q_golden_protoblock_faces(spark, sf_dir):
+    """G6 on real-world linework: re-polygonize the golden protoblocks'
+    boundary edges with the engine's noder+face tracer; must recover the
+    same 29 faces (area parity asserted in tests/test_golden_fixtures.py).
+    Rows-only: the polygonizer is a geometry kernel, not SQL."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from osm_sidewalkreator_spark.sources import golden as G
+    from osm_sidewalkreator_spark.geometry import core as GC, faces as GF
+    from osm_sidewalkreator_spark.geometry.projection import tm_forward
+    lon0, lat0 = _golden_center()
+    pb = G.load_layer(spark, "protoblocks_bbox") \
+        .select("fid", F.explode(F.col("coords")).alias("ring"))
+    schema = T.StructType([T.StructField("face_id", T.IntegerType()),
+                           T.StructField("area_m2", T.DoubleType())])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        edges = []
+        for ring in pdf["ring"]:
+            arr = np.asarray([[p[0], p[1]] for p in ring], dtype=np.float64)
+            x, y = tm_forward(arr[:, 0], arr[:, 1], lon0, lat0)
+            tm = np.column_stack([x, y])
+            edges.append(np.hstack([tm[:-1], tm[1:]]))
+        segs = np.concatenate(edges)
+        rings = GF.polygonize(segs, min_area=1.0)
+        rings.sort(key=lambda r: (round(GC.ring_centroid(r)[0], 6),
+                                  round(GC.ring_centroid(r)[1], 6)))
+        return pd.DataFrame({
+            "face_id": range(1, len(rings) + 1),
+            "area_m2": [round(abs(GC.ring_signed_area(r)), 3)
+                        for r in rings]})
+
+    # single logical group: the golden layer is one small fixture —
+    # planet-scale polygonize goes through the tiled pipeline instead
+    return (pb.withColumn("g", F.lit(1)).groupBy("g")
+            .applyInPandas(lambda _k, pdf: kernel(pdf), schema))
 
 def q_protoblocks(spark, sf_dir):
     f = _features(spark, sf_dir).filter(F.col("kind") == "protoblock")
@@ -342,6 +458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sidewalk_rings": q_sidewalk_rings,
         "q_crossings": q_crossings,
         "q_kerbs": q_kerbs,
+        "q_golden_counts": q_golden_counts,
+        "q_golden_kerb_anchor": q_golden_kerb_anchor,
+        "q_golden_crossing_length": q_golden_crossing_length,
+        "q_golden_protoblock_faces": q_golden_protoblock_faces,
     }
 
 
@@ -583,8 +703,83 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
+        "q_golden_counts": _golden_counts_sql(),
+        "q_golden_kerb_anchor": _golden_kerb_anchor_sql(),
+        "q_golden_crossing_length": _golden_crossing_length_sql(),
         # q_minhash_pairs / q_simhash / q_cosine_lsh / q_media_features /
         # q_geocode_pages / q_protoblocks / q_sidewalk_rings / q_crossings /
-        # q_kerbs: engine-specific (seeded-hash or geometry-kernel) paths —
-        # rows-only checks by design.
+        # q_kerbs / q_golden_protoblock_faces: engine-specific (seeded-hash
+        # or geometry-kernel) paths — rows-only checks by design.
     }
+
+
+# --- golden-fixture oracles (DuckDB JSON over the reference's published
+#     smoke outputs; same files the engine queries parse) ---
+
+def _golden_counts_sql() -> str:
+    from osm_sidewalkreator_spark.sources import golden as G
+    return " UNION ALL ".join(
+        f"""SELECT '{layer}' AS layer, f.geometry.type AS gtype,
+                   count(*) AS n_features
+            FROM (SELECT unnest(features) AS f
+                  FROM read_json('{G.golden_path(layer)}'))
+            GROUP BY 1, 2"""
+        for layer in G.SMOKE_LAYERS)
+
+
+def _golden_kerb_anchor_sql() -> str:
+    from osm_sidewalkreator_spark.sources import golden as G
+    kp = G.golden_path("kerbs_polygon")
+    cp = G.golden_path("crossings_polygon")
+    return f"""
+        WITH kj AS (SELECT unnest(features) AS f FROM read_json('{kp}')),
+             k AS (SELECT f.properties.kerb_id AS kerb_id,
+                          f.properties.crossing_id AS crossing_id,
+                          f.geometry.coordinates[1] AS kx,
+                          f.geometry.coordinates[2] AS ky FROM kj),
+             cj AS (SELECT unnest(features) AS f FROM read_json('{cp}')),
+             c AS (SELECT f.properties.crossing_id AS cid,
+                          CAST(len(f.geometry.coordinates) AS INT)
+                            AS n_vertices,
+                          f.geometry.coordinates[2][1] AS bx,
+                          f.geometry.coordinates[2][2] AS by,
+                          f.geometry.coordinates[4][1] AS dx,
+                          f.geometry.coordinates[4][2] AS dy FROM cj)
+        SELECT kerb_id, crossing_id, n_vertices,
+               ((abs(kx - bx) < 1e-9 AND abs(ky - by) < 1e-9)
+                OR (abs(kx - dx) < 1e-9 AND abs(ky - dy) < 1e-9)) AS anchored
+        FROM k JOIN c ON crossing_id = cid
+    """
+
+
+def _golden_crossing_length_sql() -> str:
+    from osm_sidewalkreator_spark.sources import golden as G
+    from osm_sidewalkreator_spark.geometry.projection import EARTH_R
+    cp = G.golden_path("crossings_polygon")
+    lon0, lat0 = _golden_center()
+    # atanh(b) spelled as 0.5*ln((1+b)/(1-b)) — DuckDB has no atanh
+    return f"""
+        WITH cj AS (SELECT unnest(features) AS f FROM read_json('{cp}')),
+             c AS (SELECT f.properties.crossing_id AS crossing_id,
+                          f.properties.length AS length_attr,
+                          [struct_pack(
+                             x := {EARTH_R} * 0.5 * ln(
+                               (1 + cos(radians(p[2]))
+                                  * sin(radians(p[1] - {lon0})))
+                             / (1 - cos(radians(p[2]))
+                                  * sin(radians(p[1] - {lon0})))),
+                             y := {EARTH_R} * (atan2(tan(radians(p[2])),
+                                      cos(radians(p[1] - {lon0})))
+                                  - radians({lat0})))
+                           for p in f.geometry.coordinates] AS xy
+                   FROM cj),
+             l AS (SELECT crossing_id, length_attr,
+                          list_sum([sqrt(pow(xy[i+1].x - xy[i].x, 2)
+                                       + pow(xy[i+1].y - xy[i].y, 2))
+                                    for i in range(1, len(xy))]) AS tm_len
+                   FROM c)
+        SELECT crossing_id,
+               CAST(round(length_attr * 1000) AS BIGINT) AS attr_mm,
+               round(tm_len / length_attr, 2) + 0.0 AS tm_ratio
+        FROM l
+    """

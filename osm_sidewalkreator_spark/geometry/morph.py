@@ -504,11 +504,14 @@ def rings_to_edges(rings: list[np.ndarray]) -> np.ndarray:
     """Closed-ring vertex arrays -> stacked (E,4) edge segments."""
     if not rings:
         return np.empty((0, 4))
-    parts = []
-    for r in rings:
-        nxt = np.roll(r, -1, axis=0)
-        parts.append(np.hstack([r, nxt]))
-    return np.concatenate(parts)
+    lens = np.array([len(r) for r in rings], dtype=np.int64)
+    flat = np.concatenate(rings)
+    starts = np.cumsum(lens) - lens
+    # next-vertex index: i+1 within the ring, wrapping to the ring start
+    idx = np.arange(len(flat), dtype=np.int64) + 1
+    ends = np.cumsum(lens) - 1
+    idx[ends] = starts
+    return np.hstack([flat, flat[idx]])
 
 
 def buffer_union(segs: np.ndarray, radii: np.ndarray, nseg: int = 5,
@@ -552,23 +555,27 @@ def ring_wedges(ring: np.ndarray, radius: float, nseg: int = 5
     dot = u1[:, 0] * u2[:, 0] + u1[:, 1] * u2[:, 1]
     theta = np.arctan2(cross, dot)      # turn angle, signed
     dtheta = np.pi / (2 * nseg)
-    wedges = []
-    for i in range(n):
-        if not ok[i] or abs(theta[i]) < 1e-9:
-            continue
-        v = ring[i]
-        if theta[i] > 0:    # left turn: gap on right side
-            a0 = np.arctan2(-u1[i, 0], u1[i, 1])   # angle of u1's right normal
-            span = theta[i]
-        else:               # right turn: gap on left side
-            a0 = np.arctan2(u2[i, 0], -u2[i, 1])   # angle of u2's left normal
-            span = -theta[i]
-        nsteps = max(1, int(np.ceil(span / dtheta)))
-        angs = a0 + np.linspace(0.0, span, nsteps + 1)
-        pts = np.vstack([v, v[None, :] + radius * np.column_stack(
-            [np.cos(angs), np.sin(angs)])])
-        wedges.append(pts)
-    return wedges
+    sel = ok & (np.abs(theta) >= 1e-9)
+    if not sel.any():
+        return []
+    v = ring[sel]
+    th = theta[sel]
+    left = th > 0
+    a0 = np.where(left,
+                  np.arctan2(-u1[sel, 0], u1[sel, 1]),   # u1's right normal
+                  np.arctan2(u2[sel, 0], -u2[sel, 1]))   # u2's left normal
+    span = np.abs(th)
+    nsteps = np.maximum(1, np.ceil(span / dtheta).astype(np.int64))
+    jmax = int(nsteps.max())
+    # padded arc: angle_j = a0 + span * min(j, nsteps)/nsteps; clamping j
+    # repeats the final arc point, which ConvexSet ignores as degenerate
+    j = np.minimum(np.arange(jmax + 1)[None, :], nsteps[:, None])
+    angs = a0[:, None] + span[:, None] * (j / nsteps[:, None])
+    pts = np.empty((len(v), jmax + 2, 2))
+    pts[:, 0] = v
+    pts[:, 1:, 0] = v[:, 0:1] + radius * np.cos(angs)
+    pts[:, 1:, 1] = v[:, 1:2] + radius * np.sin(angs)
+    return list(pts)
 
 
 def _pad_polys(polys: list[np.ndarray]) -> np.ndarray:

@@ -30,21 +30,15 @@ def _candidate_pairs(segs: np.ndarray, bin_size: float) -> np.ndarray:
     ix1 = np.floor(xmax / bin_size).astype(np.int64)
     iy0 = np.floor(ymin / bin_size).astype(np.int64)
     iy1 = np.floor(ymax / bin_size).astype(np.int64)
-    # explode (seg, cell) membership
-    counts = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    # explode (seg, cell) membership — flat-vectorized
+    from .gridhash import _segmented_arange
+    ny = iy1 - iy0 + 1
+    counts = (ix1 - ix0 + 1) * ny
     seg_ids = np.repeat(np.arange(n), counts)
-    cells = np.empty(len(seg_ids), dtype=np.int64)
-    pos = 0
-    for i in range(n):
-        c = counts[i]
-        if c == 1:
-            cells[pos] = (ix0[i] << 32) ^ (iy0[i] & 0xFFFFFFFF)
-        else:
-            gx = np.arange(ix0[i], ix1[i] + 1)
-            gy = np.arange(iy0[i], iy1[i] + 1)
-            cc = (gx[:, None] << 32) ^ (gy[None, :] & 0xFFFFFFFF)
-            cells[pos:pos + c] = cc.ravel()
-        pos += c
+    k = _segmented_arange(counts)
+    ny_o = ny[seg_ids]
+    cells = (((ix0[seg_ids] + k // ny_o) << 32)
+             ^ ((iy0[seg_ids] + k % ny_o) & 0xFFFFFFFF))
     order = np.argsort(cells, kind="stable")
     cells_s = cells[order]
     segs_s = seg_ids[order]
@@ -168,37 +162,37 @@ def node_segments(segs: np.ndarray, snap: float = SNAP
         all_seg = np.empty(0, dtype=np.int64)
         all_pts = np.empty((0, 2))
 
-    # build sub-segments
-    out_segs = []
-    out_parent = []
-    order = np.argsort(all_seg, kind="stable")
-    all_seg = all_seg[order]
-    all_pts = all_pts[order]
-    starts = np.searchsorted(all_seg, np.arange(n), side="left")
-    ends = np.searchsorted(all_seg, np.arange(n), side="right")
-    for si in range(n):
-        a = segs[si, :2]
-        b = segs[si, 2:]
-        pts = all_pts[starts[si]:ends[si]]
-        if len(pts) == 0:
-            out_segs.append(np.concatenate([a, b]))
-            out_parent.append(si)
-            continue
-        chain = np.vstack([a[None, :], pts, b[None, :]])
-        # order by parametric position along the segment
-        d = b - a
-        tt = (chain - a) @ d / (d @ d)
-        chain = chain[np.argsort(tt, kind="stable")]
-        # dedup consecutive identical points
-        dif = np.diff(chain, axis=0)
-        nz = (dif[:, 0] != 0) | (dif[:, 1] != 0)
-        starts_c = chain[:-1][nz]
-        ends_c = chain[1:][nz]
-        for aa, bb in zip(starts_c, ends_c):
-            out_segs.append(np.concatenate([aa, bb]))
-            out_parent.append(si)
-    noded = np.array(out_segs) if out_segs else np.empty((0, 4))
-    parent = base_parent[np.array(out_parent, dtype=np.int64)] if out_parent else np.empty(0, dtype=np.int64)
+    # build sub-segments — flat-vectorized chain construction: every
+    # segment contributes its two endpoints (t=0, t=1) plus its split
+    # points (parametric t), one lexsort orders all chains at once, and
+    # consecutive same-segment rows become the sub-segments.
+    ax, ay = segs[:, 0], segs[:, 1]
+    dx, dy = segs[:, 2] - ax, segs[:, 3] - ay
+    if len(all_seg):
+        tt = ((all_pts[:, 0] - ax[all_seg]) * dx[all_seg]
+              + (all_pts[:, 1] - ay[all_seg]) * dy[all_seg]) \
+            / (lens[all_seg] * lens[all_seg])
+        row_seg = np.concatenate([np.arange(n), np.arange(n), all_seg])
+        row_t = np.concatenate([np.zeros(n), np.ones(n), tt])
+        row_x = np.concatenate([ax, segs[:, 2], all_pts[:, 0]])
+        row_y = np.concatenate([ay, segs[:, 3], all_pts[:, 1]])
+    else:
+        row_seg = np.concatenate([np.arange(n), np.arange(n)])
+        row_t = np.concatenate([np.zeros(n), np.ones(n)])
+        row_x = np.concatenate([ax, segs[:, 2]])
+        row_y = np.concatenate([ay, segs[:, 3]])
+    order = np.lexsort((row_t, row_seg))
+    row_seg = row_seg[order]
+    row_x = row_x[order]
+    row_y = row_y[order]
+    same = row_seg[:-1] == row_seg[1:]
+    nz = (row_x[:-1] != row_x[1:]) | (row_y[:-1] != row_y[1:])
+    keep2 = same & nz
+    noded = np.column_stack([row_x[:-1][keep2], row_y[:-1][keep2],
+                             row_x[1:][keep2], row_y[1:][keep2]])
+    parent = base_parent[row_seg[:-1][keep2]]
+    if len(noded) == 0:
+        return np.empty((0, 4)), np.empty(0, dtype=np.int64)
     return noded, parent
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import params as P
-from ..geometry import core, faces, morph, noding
+from ..geometry import core, faces, gridhash, morph, noding
 
 
 # ---------- street network cleaning ----------
@@ -280,75 +280,157 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
     kerbs: list[dict] = []
     if n == 0:
         return crossings, kerbs
+    noded_segs = np.asarray(noded_segs, dtype=np.float64)
     widths = np.asarray(widths, dtype=np.float64)
     lens = core.segment_lengths(noded_segs)
 
-    # endpoint adjacency via distance (endpoint within search_buffer of
-    # another segment) — the reference buffers the endpoint and tests
-    # polygon intersection (:683-701)
-    starts = noded_segs[:, :2]
-    ends = noded_segs[:, 2:]
+    # ---- endpoint adjacency via grid-hash candidates (vectorized) ----
+    # endpoint within search_buffer of another segment; the reference
+    # buffers the endpoint and tests polygon intersection (:683-701).
+    # A point within distance r of a segment lies inside the segment's
+    # bbox padded by r, so the grid join yields a candidate superset.
+    ep_x = np.concatenate([noded_segs[:, 0], noded_segs[:, 2]])
+    ep_y = np.concatenate([noded_segs[:, 1], noded_segs[:, 3]])
+    ep_seg = np.tile(np.arange(n), 2)
+    ep_end = np.repeat(np.array([0, 1]), n)       # 0 = P0, 1 = PF
+    boxes = np.column_stack([
+        np.minimum(noded_segs[:, 0], noded_segs[:, 2]) - search_buffer,
+        np.minimum(noded_segs[:, 1], noded_segs[:, 3]) - search_buffer,
+        np.maximum(noded_segs[:, 0], noded_segs[:, 2]) + search_buffer,
+        np.maximum(noded_segs[:, 1], noded_segs[:, 3]) + search_buffer])
+    med = float(np.median(lens[lens > 0])) if (lens > 0).any() else 1.0
+    bin_size = max(search_buffer * 4, med)
+    pi, bi = gridhash.join_points_to_boxes(ep_x, ep_y, boxes, bin_size)
+    if len(pi):
+        d = core.point_segment_distance(ep_x[pi], ep_y[pi],
+                                        noded_segs[bi])
+        near = (d <= search_buffer) & (bi != ep_seg[pi])
+        if way_ids is not None:
+            w = np.asarray(way_ids)
+            near &= w[bi] != w[ep_seg[pi]]
+        pi, bi = pi[near], bi[near]
+    has = np.zeros(2 * n, dtype=bool)
+    max_w = np.full(2 * n, -np.inf)
+    if len(pi):
+        has[pi] = True
+        np.maximum.at(max_w, pi, widths[bi])
+    valid = has & (lens[ep_seg] > 0)
+    if not valid.any():
+        return crossings, kerbs
 
-    centers = []
-    for si in range(n):
-        seg = noded_segs[si]
-        a, b = seg[:2], seg[2:]
-        ln = lens[si]
-        if ln == 0:
-            continue
-        for endpoint_type, ep in (("P0", a), ("PF", b)):
-            d = core.point_segment_distance(
-                np.full(n, ep[0]), np.full(n, ep[1]), noded_segs)
-            near = (d <= search_buffer)
-            near[si] = False
-            if way_ids is not None:
-                near &= np.asarray(way_ids) != way_ids[si]
-            if not near.any():
-                continue
-            inter_widths = widths[near]
-            max_w = float(inter_widths.max()) if len(inter_widths) else float(widths[si])
-            d_interp = max_w * 0.5 + curve_radius + d_to_add
-            if d_interp > 0.5 * ln:
-                d_interp = ln * 0.1  # :742-744
-            if endpoint_type == "P0":
-                center = _seg_interpolate(a, b, d_interp)
-                sd = min(d_interp + 1.0, max(0.0, ln - 1e-6))
-                dirpt = _seg_interpolate(a, b, sd)
-            else:
-                center = _seg_interpolate(a, b, ln - d_interp)
-                sd = max(0.0, ln - d_interp - 1.0)
-                dirpt = _seg_interpolate(a, b, sd)
-            dx, dy = dirpt - center
-            norm = float(np.hypot(dx, dy))
-            if norm == 0:
-                continue
-            half_span = max_w * 0.5 + curve_radius + d_to_add + 0.5
-            perp = np.array([-dy, dx]) / norm * half_span
-            centers.append({"seg": si, "end": endpoint_type,
-                            "center": center, "perp": perp, "len": ln})
+    # ---- per-endpoint crossing-center construction (vectorized) ----
+    sel = np.flatnonzero(valid)
+    seg_i = ep_seg[sel]
+    end_i = ep_end[sel]
+    a = noded_segs[seg_i, :2]
+    b = noded_segs[seg_i, 2:]
+    ln = lens[seg_i]
+    mw = max_w[sel]
+    d_interp = mw * 0.5 + curve_radius + d_to_add
+    d_interp = np.where(d_interp > 0.5 * ln, ln * 0.1, d_interp)  # :742-744
+
+    def _interp(dist):
+        t = np.clip(dist / ln, 0.0, 1.0)
+        return a + t[:, None] * (b - a)
+
+    is_p0 = end_i == 0
+    center = np.where(is_p0[:, None], _interp(d_interp),
+                      _interp(ln - d_interp))
+    sd = np.where(is_p0,
+                  np.minimum(d_interp + 1.0, np.maximum(0.0, ln - 1e-6)),
+                  np.maximum(0.0, ln - d_interp - 1.0))
+    dirpt = _interp(sd)
+    dvec = dirpt - center
+    norm = np.hypot(dvec[:, 0], dvec[:, 1])
+    ok = norm > 0
+    sel_ok = np.flatnonzero(ok)
+    center = center[sel_ok]
+    half_span = mw[sel_ok] * 0.5 + curve_radius + d_to_add + 0.5
+    perp = np.column_stack([-dvec[sel_ok, 1], dvec[sel_ok, 0]]) \
+        / norm[sel_ok][:, None] * half_span[:, None]
+    seg_i, end_i, ln = seg_i[sel_ok], end_i[sel_ok], ln[sel_ok]
 
     # deterministic order: by (center_x, center_y, seg, end)
-    centers.sort(key=lambda c: (round(c["center"][0], 6),
-                                round(c["center"][1], 6), c["seg"], c["end"]))
+    order = np.lexsort((end_i, seg_i,
+                        np.round(center[:, 1], 6),
+                        np.round(center[:, 0], 6)))
+    center, perp, ln = center[order], perp[order], ln[order]
 
-    for c in centers:
-        if c["len"] < min_seg_len:  # :827
-            continue
-        center = c["center"]
-        pA0 = center - c["perp"]
-        pE0 = center + c["perp"]
-        A, E = _ray_hits(pA0, pE0, sidewalk_segs)
-        if A is None or E is None:
-            continue
-        B = A + (center - A) * kerb_perc
-        D = E + (center - E) * kerb_perc
-        coords = np.vstack([A, B, center, D, E])
-        length = core.polyline_length(coords)
-        ci = len(crossings)
-        crossings.append({"coords": coords, "length": length,
-                          "center": center})
-        kerbs.append({"xy": B, "crossing_index": ci})
-        kerbs.append({"xy": D, "crossing_index": ci})
+    # min-seg-len drop (:827)
+    keep = ln >= min_seg_len
+    center, perp = center[keep], perp[keep]
+    m = len(center)
+    if m == 0 or len(sidewalk_segs) == 0:
+        return crossings, kerbs
+
+    # ---- ray x sidewalk intersections (vectorized over grid pairs) ----
+    # ray pA->pE spans center +- perp; a sidewalk segment can only hit it
+    # if its bbox padded by the max half-span contains the center.
+    sw = np.asarray(sidewalk_segs, dtype=np.float64)
+    span_max = float(np.hypot(perp[:, 0], perp[:, 1]).max())
+    sboxes = np.column_stack([
+        np.minimum(sw[:, 0], sw[:, 2]) - span_max,
+        np.minimum(sw[:, 1], sw[:, 3]) - span_max,
+        np.maximum(sw[:, 0], sw[:, 2]) + span_max,
+        np.maximum(sw[:, 1], sw[:, 3]) + span_max])
+    slen = np.hypot(sw[:, 2] - sw[:, 0], sw[:, 3] - sw[:, 1])
+    sbin = max(span_max * 2,
+               float(np.median(slen[slen > 0])) if (slen > 0).any() else 1.0)
+    ci, si2 = gridhash.join_points_to_boxes(center[:, 0], center[:, 1],
+                                            sboxes, sbin)
+    pA = center - perp
+    pE = center + perp
+    best_pt = np.full((m, 2, 2), np.nan)          # (ray, side A/E, xy)
+    if len(ci):
+        a1 = pA[ci]
+        d1 = pE[ci] - a1
+        a2 = sw[si2, :2]
+        d2 = sw[si2, 2:] - a2
+        denom = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+        okd = np.abs(denom) > 1e-12
+        e = a2 - a1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (e[:, 0] * d2[:, 1] - e[:, 1] * d2[:, 0]) / denom
+            u = (e[:, 0] * d1[:, 1] - e[:, 1] * d1[:, 0]) / denom
+        hit = okd & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        if hit.any():
+            hci = ci[hit]
+            hsi = si2[hit]
+            pts = a1[hit] + t[hit][:, None] * d1[hit]
+            dA = np.hypot(pts[:, 0] - pA[hci, 0], pts[:, 1] - pA[hci, 1])
+            dE = np.hypot(pts[:, 0] - pE[hci, 0], pts[:, 1] - pE[hci, 1])
+            a_side = dA < dE
+            side = np.where(a_side, 0, 1)
+            dist = np.where(a_side, dA, dE)
+            # first-minimum per (ray, side), ties to the smallest
+            # sidewalk-segment index (matches argmin over seg order)
+            key = hci * 2 + side
+            o2 = np.lexsort((hsi, dist, key))
+            key_s = key[o2]
+            first = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+            kf = key_s[first]
+            best_pt[kf // 2, kf % 2] = pts[o2][first]
+
+    both = ~np.isnan(best_pt[:, 0, 0]) & ~np.isnan(best_pt[:, 1, 0])
+    sel_r = np.flatnonzero(both)
+    if len(sel_r) == 0:
+        return crossings, kerbs
+    A = best_pt[sel_r, 0]
+    E = best_pt[sel_r, 1]
+    C = center[sel_r]
+    B = A + (C - A) * kerb_perc
+    D = E + (C - E) * kerb_perc
+    coords = np.stack([A, B, C, D, E], axis=1)    # (k,5,2)
+    dif = np.diff(coords, axis=1)
+    hyp = np.hypot(dif[:, :, 0], dif[:, :, 1])
+    # sequential left-to-right sum matches polyline_length's np.sum order
+    length = ((hyp[:, 0] + hyp[:, 1]) + hyp[:, 2]) + hyp[:, 3]
+    for k in range(len(sel_r)):
+        ci_out = len(crossings)
+        crossings.append({"coords": coords[k], "length": float(length[k]),
+                          "center": C[k]})
+        kerbs.append({"xy": B[k], "crossing_index": ci_out})
+        kerbs.append({"xy": D[k], "crossing_index": ci_out})
     return crossings, kerbs
 
 
@@ -531,43 +613,41 @@ def sidewalk_tag_zones(segs: np.ndarray, widths: np.ndarray,
         return np.asarray([x if x is not None else "" for x in a],
                           dtype=object)
 
-    sidewalk = _norm(sidewalk)
-    s_left = _norm(s_left)
-    s_right = _norm(s_right)
-    s_both = _norm(s_both)
+    sw = _norm(sidewalk)
+    sl = _norm(s_left)
+    sr = _norm(s_right)
+    sb = _norm(s_both)
     tag_dist = np.asarray(widths, dtype=np.float64) / 2 + d_to_add / 2 + 0.5
-    sure, excl = [], []
-    for i in range(len(segs)):
-        sw = sidewalk[i] or ""
-        sl = s_left[i] or ""
-        sr = s_right[i] or ""
-        sb = s_both[i] or ""
-        seg = segs[i:i + 1]
-        d = tag_dist[i:i + 1]
-        both = [single_sided_zone(seg, d, True)[0],
-                single_sided_zone(seg, d, False)[0]]
-        if sw == "no" or sb == "no":
-            excl.extend(both)
-        elif sw == "left" or sl == "yes":
-            sure.append(single_sided_zone(seg, d, True)[0])
-            excl.append(single_sided_zone(seg, d, False)[0])
-        elif sw == "right" or sr == "yes":
-            sure.append(single_sided_zone(seg, d, False)[0])
-            excl.append(single_sided_zone(seg, d, True)[0])
-        elif sl == "no":
-            excl.append(single_sided_zone(seg, d, True)[0])
-            if sr == "yes":
-                sure.append(single_sided_zone(seg, d, False)[0])
-        elif sr == "no":
-            excl.append(single_sided_zone(seg, d, False)[0])
-            if sl == "yes":
-                sure.append(single_sided_zone(seg, d, True)[0])
-        elif sw in ("both", "yes") or sb == "yes":
-            sure.extend(both)
-        # untagged: default sure zone (reference :569-575)
-        elif not (sw or sl or sr or sb):
-            sure.extend(both)
-    return sure, excl
+    segs = np.asarray(segs, dtype=np.float64)
+    left_q = single_sided_zone(segs, tag_dist, True)
+    right_q = single_sided_zone(segs, tag_dist, False)
+
+    # boolean-mask translation of the reference's per-feature case chain
+    # (first matching case wins, mirroring the elif ladder)
+    c1 = (sw == "no") | (sb == "no")
+    c2 = ~c1 & ((sw == "left") | (sl == "yes"))
+    c3 = ~(c1 | c2) & ((sw == "right") | (sr == "yes"))
+    c4 = ~(c1 | c2 | c3) & (sl == "no")
+    c5 = ~(c1 | c2 | c3 | c4) & (sr == "no")
+    prior = c1 | c2 | c3 | c4 | c5
+    c6 = ~prior & (np.isin(sw.astype(str), ("both", "yes")) | (sb == "yes"))
+    # untagged: default sure zone (reference :569-575)
+    c7 = ~(prior | c6) & (sw == "") & (sl == "") & (sr == "") & (sb == "")
+    # (cases 4/5's "other side sure" sub-branches are unreachable: a
+    # yes on the other side is already consumed by case 2/3)
+    sure_l = c2 | c6 | c7
+    sure_r = c3 | c6 | c7
+    excl_l = c1 | c3 | c4
+    excl_r = c1 | c2 | c5
+
+    def _assemble(lmask, rmask):
+        keys = np.concatenate([2 * np.flatnonzero(lmask),
+                               2 * np.flatnonzero(rmask) + 1])
+        keys.sort()
+        return [left_q[k >> 1] if k % 2 == 0 else right_q[k >> 1]
+                for k in keys]
+
+    return _assemble(sure_l, sure_r), _assemble(excl_l, excl_r)
 
 
 # ---------- assembled per-tile pipeline ----------
@@ -606,14 +686,17 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
     # G24: keep rings intersecting the protoblock area (+0.5 m buffer in
     # the reference; rings lie strictly inside their block, so the
     # representative-vertex PIP is the same predicate here)
-    if blocks:
-        kept_rings = []
-        for r in sw_rings:
-            rep = r[np.lexsort((r[:, 1], r[:, 0]))[0]]
-            if any(core.points_in_ring(rep[None, 0], rep[None, 1], b)[0]
-                   for b in blocks):
-                kept_rings.append(r)
-        sw_rings = kept_rings
+    if blocks and sw_rings:
+        reps = np.array([r[np.lexsort((r[:, 1], r[:, 0]))[0]]
+                         for r in sw_rings])
+        inside = np.zeros(len(sw_rings), dtype=bool)
+        for blk in blocks:
+            todo = ~inside
+            if not todo.any():
+                break
+            inside[todo] |= core.points_in_ring(
+                reps[todo, 0], reps[todo, 1], blk)
+        sw_rings = [r for r, k in zip(sw_rings, inside) if k]
 
     sure_zones: list[np.ndarray] = []
     excl_zones: list[np.ndarray] = []

@@ -221,6 +221,10 @@ def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
                  core.polyline_length(line), None, None,
                  float(rep[0]), float(rep[1]))
 
+        kerbs_by_crossing: dict[int, list] = {}
+        for j, k2 in enumerate(out["kerbs"]):
+            kerbs_by_crossing.setdefault(k2["crossing_index"], []) \
+                .append((j, k2))
         for i, c in enumerate(out["crossings"]):
             cx, cy = float(c["center"][0]), float(c["center"][1])
             if not _owns(cx, cy, b):
@@ -228,13 +232,12 @@ def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
             cfid = fid_of(3, i)
             emit("crossing", cfid, wkb.linestring_wkb(c["coords"]),
                  float(c["length"]), None, None, cx, cy)
-            for j, k2 in enumerate(out["kerbs"]):
-                if k2["crossing_index"] == i:
-                    emit("kerb", fid_of(4, 2 * i + (j % 2)),
-                         wkb.point_wkb(float(k2["xy"][0]),
-                                       float(k2["xy"][1])),
-                         None, None, cfid,
-                         float(k2["xy"][0]), float(k2["xy"][1]))
+            for j, k2 in kerbs_by_crossing.get(i, ()):
+                emit("kerb", fid_of(4, 2 * i + (j % 2)),
+                     wkb.point_wkb(float(k2["xy"][0]),
+                                   float(k2["xy"][1])),
+                     None, None, cfid,
+                     float(k2["xy"][0]), float(k2["xy"][1]))
         return pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
 
     return kernel

@@ -1,0 +1,250 @@
+"""Equivalence tests: the flat-vectorized kernels must reproduce a
+straightforward per-feature loop implementation bit-for-bit.
+
+The loop references below re-state the reference semantics
+(full_sidewalkreator_bbox_algorithm.py:515-938 for crossings,
+sidewalk_generation_logic.py:436-588 for tag zones) the way round 1
+implemented them; round 2 vectorized the engine paths for the
+two-cluster-size scaling rule, so these tests pin the refactor.
+"""
+
+import numpy as np
+import pytest
+
+from osm_sidewalkreator_spark import params as P
+from osm_sidewalkreator_spark.geometry import core, gridhash, noding
+from osm_sidewalkreator_spark.plans import kernels
+
+
+def _rand_city(rng, n=120, span=400.0):
+    """Random street-ish segment soup with junction sharing."""
+    pts = rng.uniform(0, span, size=(n // 2, 2))
+    i = rng.integers(0, len(pts), size=n)
+    j = rng.integers(0, len(pts), size=n)
+    segs = np.column_stack([pts[i], pts[j]])
+    keep = (segs[:, 0] != segs[:, 2]) | (segs[:, 1] != segs[:, 3])
+    return segs[keep]
+
+
+# ---------- gridhash ----------
+
+def test_join_points_to_boxes_bruteforce():
+    rng = np.random.default_rng(7)
+    px = rng.uniform(0, 100, 300)
+    py = rng.uniform(0, 100, 300)
+    boxes = np.sort(rng.uniform(0, 100, (40, 4)).reshape(40, 2, 2),
+                    axis=1).transpose(0, 2, 1).reshape(40, 4)
+    boxes = np.column_stack([boxes[:, 0], boxes[:, 2],
+                             boxes[:, 1], boxes[:, 3]])
+    pi, bi = gridhash.join_points_to_boxes(px, py, boxes, 7.3)
+    got = set(zip(pi.tolist(), bi.tolist()))
+    want = set()
+    for b in range(len(boxes)):
+        m = ((px >= boxes[b, 0]) & (px <= boxes[b, 2])
+             & (py >= boxes[b, 1]) & (py <= boxes[b, 3]))
+        want |= {(int(p), b) for p in np.flatnonzero(m)}
+    assert got == want
+
+
+def test_segmented_arange():
+    counts = np.array([3, 0, 1, 4])
+    assert gridhash._segmented_arange(counts).tolist() == \
+        [0, 1, 2, 0, 0, 1, 2, 3]
+    assert gridhash._segmented_arange(np.array([], dtype=np.int64)).size == 0
+
+
+# ---------- noding rebuild ----------
+
+def test_node_segments_matches_loop_reference():
+    rng = np.random.default_rng(3)
+    segs = _rand_city(rng, n=80, span=60.0)
+    noded, parent = noding.node_segments(segs)
+    # invariants: every sub-segment lies on its parent's line and the
+    # per-parent sub-lengths sum to the parent length
+    lens = core.segment_lengths(segs)
+    sub = core.segment_lengths(noded)
+    tot = np.zeros(len(segs))
+    np.add.at(tot, parent, sub)
+    live = np.unique(parent)
+    assert np.allclose(tot[live], lens[live], atol=1e-6)
+    ax, ay = segs[parent, 0], segs[parent, 1]
+    dx, dy = segs[parent, 2] - ax, segs[parent, 3] - ay
+    for px, py in ((noded[:, 0], noded[:, 1]), (noded[:, 2], noded[:, 3])):
+        cross = np.abs((px - ax) * dy - (py - ay) * dx) / lens[parent]
+        assert cross.max() < 1e-4  # snap-grid tolerance
+    # all pairwise intersections are now endpoints: re-noding is a fixpoint
+    renoded, _ = noding.node_segments(noded)
+    assert len(renoded) == len(noded)
+
+
+# ---------- crossings_and_kerbs ----------
+
+def _crossings_loop_reference(noded_segs, widths, sidewalk_segs,
+                              way_ids=None,
+                              search_buffer=P.ENDPOINT_SEARCH_BUFFER,
+                              min_seg_len=P.MIN_SEG_LEN_FOR_CROSSING,
+                              kerb_perc=P.KERB_PERC,
+                              curve_radius=P.DEFAULT_CURVE_RADIUS,
+                              d_to_add=P.D_TO_ADD_TO_EACH_SIDE):
+    """Round-1 per-endpoint loop implementation (the pinned baseline)."""
+    n = len(noded_segs)
+    crossings, kerbs = [], []
+    if n == 0:
+        return crossings, kerbs
+    widths = np.asarray(widths, dtype=np.float64)
+    lens = core.segment_lengths(noded_segs)
+
+    def interp(a, b, d, ln):
+        t = min(max(d / ln, 0.0), 1.0)
+        return a + t * (b - a)
+
+    centers = []
+    for si in range(n):
+        a, b = noded_segs[si, :2], noded_segs[si, 2:]
+        ln = lens[si]
+        if ln == 0:
+            continue
+        for end_code, ep in ((0, a), (1, b)):
+            d = core.point_segment_distance(
+                np.full(n, ep[0]), np.full(n, ep[1]), noded_segs)
+            near = d <= search_buffer
+            near[si] = False
+            if way_ids is not None:
+                near &= np.asarray(way_ids) != way_ids[si]
+            if not near.any():
+                continue
+            max_w = float(widths[near].max())
+            d_interp = max_w * 0.5 + curve_radius + d_to_add
+            if d_interp > 0.5 * ln:
+                d_interp = ln * 0.1
+            if end_code == 0:
+                center = interp(a, b, d_interp, ln)
+                sd = min(d_interp + 1.0, max(0.0, ln - 1e-6))
+            else:
+                center = interp(a, b, ln - d_interp, ln)
+                sd = max(0.0, ln - d_interp - 1.0)
+            dirpt = interp(a, b, sd, ln)
+            dx, dy = dirpt - center
+            norm = float(np.hypot(dx, dy))
+            if norm == 0:
+                continue
+            half_span = max_w * 0.5 + curve_radius + d_to_add + 0.5
+            perp = np.array([-dy, dx]) / norm * half_span
+            centers.append((center, perp, ln, si, end_code))
+    centers.sort(key=lambda c: (round(c[0][0], 6), round(c[0][1], 6),
+                                c[3], c[4]))
+    for center, perp, ln, _si, _e in centers:
+        if ln < min_seg_len:
+            continue
+        pA, pE = center - perp, center + perp
+        best_a = best_e = None
+        da_best = de_best = np.inf
+        for s in np.asarray(sidewalk_segs, dtype=np.float64):
+            a2, d2 = s[:2], s[2:] - s[:2]
+            d1 = pE - pA
+            denom = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(denom) <= 1e-12:
+                continue
+            e = a2 - pA
+            t = (e[0] * d2[1] - e[1] * d2[0]) / denom
+            u = (e[0] * d1[1] - e[1] * d1[0]) / denom
+            if not (0 <= t <= 1 and 0 <= u <= 1):
+                continue
+            pt = pA + t * d1
+            dA = float(np.hypot(*(pt - pA)))
+            dE = float(np.hypot(*(pt - pE)))
+            if dA < dE:
+                if dA < da_best:
+                    da_best, best_a = dA, pt
+            else:
+                if dE < de_best:
+                    de_best, best_e = dE, pt
+        if best_a is None or best_e is None:
+            continue
+        B = best_a + (center - best_a) * kerb_perc
+        D = best_e + (center - best_e) * kerb_perc
+        coords = np.vstack([best_a, B, center, D, best_e])
+        ci = len(crossings)
+        crossings.append({"coords": coords,
+                          "length": core.polyline_length(coords),
+                          "center": center})
+        kerbs.append({"xy": B, "crossing_index": ci})
+        kerbs.append({"xy": D, "crossing_index": ci})
+    return crossings, kerbs
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_crossings_vectorized_matches_loop(seed):
+    rng = np.random.default_rng(seed)
+    segs = _rand_city(rng, n=60, span=200.0)
+    widths = rng.uniform(2.0, 12.0, len(segs))
+    ways = rng.integers(0, 20, len(segs))
+    noded, w, parent = kernels.split_streets(segs, widths)
+    way_ids = ways[parent]
+    # sidewalk soup: offset copies of the streets
+    sw = noded + rng.normal(0, 3.0, (len(noded), 4))
+    want = _crossings_loop_reference(noded, w, sw, way_ids=way_ids)
+    got = kernels.crossings_and_kerbs(noded, w, sw, way_ids=way_ids)
+    assert len(got[0]) == len(want[0])
+    assert len(got[1]) == len(want[1])
+    for g, x in zip(got[0], want[0]):
+        assert np.allclose(g["coords"], x["coords"], atol=1e-12)
+        assert g["length"] == pytest.approx(x["length"], abs=1e-12)
+    for g, x in zip(got[1], want[1]):
+        assert np.allclose(g["xy"], x["xy"], atol=1e-12)
+        assert g["crossing_index"] == x["crossing_index"]
+
+
+# ---------- sidewalk_tag_zones ----------
+
+def _tag_zones_loop_reference(segs, widths, sidewalk, s_left, s_right,
+                              s_both, d_to_add=P.D_TO_ADD_TO_EACH_SIDE):
+    n = len(segs)
+
+    def norm(a):
+        if a is None:
+            return np.full(n, "", dtype=object)
+        return np.asarray([x if x is not None else "" for x in a],
+                          dtype=object)
+
+    sidewalk, s_left = norm(sidewalk), norm(s_left)
+    s_right, s_both = norm(s_right), norm(s_both)
+    tag_dist = np.asarray(widths, dtype=np.float64) / 2 + d_to_add / 2 + 0.5
+    sure, excl = [], []
+    for i in range(n):
+        sw, sl = sidewalk[i] or "", s_left[i] or ""
+        sr, sb = s_right[i] or "", s_both[i] or ""
+        seg, d = segs[i:i + 1], tag_dist[i:i + 1]
+        L = kernels.single_sided_zone(seg, d, True)[0]
+        R = kernels.single_sided_zone(seg, d, False)[0]
+        if sw == "no" or sb == "no":
+            excl.extend([L, R])
+        elif sw == "left" or sl == "yes":
+            sure.append(L); excl.append(R)
+        elif sw == "right" or sr == "yes":
+            sure.append(R); excl.append(L)
+        elif sl == "no":
+            excl.append(L)
+        elif sr == "no":
+            excl.append(R)
+        elif sw in ("both", "yes") or sb == "yes":
+            sure.extend([L, R])
+        elif not (sw or sl or sr or sb):
+            sure.extend([L, R])
+    return sure, excl
+
+
+def test_tag_zones_vectorized_matches_loop():
+    rng = np.random.default_rng(11)
+    n = 200
+    segs = rng.uniform(0, 100, (n, 4))
+    widths = rng.uniform(2, 10, n)
+    vocab = ["", "no", "yes", "left", "right", "both", "separate", None]
+    cols = [np.array([vocab[k] for k in rng.integers(0, len(vocab), n)],
+                     dtype=object) for _ in range(4)]
+    want = _tag_zones_loop_reference(segs, widths, *cols)
+    got = kernels.sidewalk_tag_zones(segs, widths, *cols)
+    for g_list, w_list in zip(got, want):
+        assert len(g_list) == len(w_list)
+        for g, x in zip(g_list, w_list):
+            assert np.allclose(g, x, atol=1e-12)
