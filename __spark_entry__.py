@@ -286,6 +286,27 @@ def q_lineitem_pricing(spark, sf_dir):
                        .cast("long")).alias("sum_disc_c")))
 
 
+def q_protoblock_sidewalk_filter(spark, sf_dir):
+    """A10: existing-sidewalk incidence ratio per block (J8 sum-length
+    variant feeding the >40% drop, osm_sidewalkreator.py:733-762).
+    Runs on the synthetic ground-truth rectangles so the ratio math has
+    an exact SQL oracle; the protoblock-polygon variant applies inside
+    the tile kernel (kernels.filter_protoblocks_by_existing_sidewalks)."""
+    synth = ensure_features(spark, sf_dir)
+    blocks = _synth(spark, sf_dir, "blocks")
+    esw = spark.read.parquet(str(synth / "esw_segments.parquet"))
+    inc = J.incidence_length_join(blocks, esw, cell_size=P.CELL_SIZE_M)
+    area = (F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))
+    j = blocks.join(inc, "block_id", "left") \
+        .withColumn("inc_len", F.coalesce(F.col("inc_len"), F.lit(0.0)))
+    ratio = (F.pow(F.col("inc_len") / 4.0, 2) / area) * 100.0
+    return j.select(
+        "block_id",
+        F.round(F.col("inc_len") * 1000).cast("long").alias("inc_len_mm"),
+        (F.round(ratio, 6) + 0.0).alias("sidewalks_ratio"),
+        (ratio <= P.CUTOFF_PERCENT_PROTOBLOCK).alias("keep"))
+
+
 # golden-fixture parity (reference assets/test_outputs — real-world
 # outputs of the reference's Docker smoke suite; see sources/golden.py)
 
@@ -462,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_golden_kerb_anchor": q_golden_kerb_anchor,
         "q_golden_crossing_length": q_golden_crossing_length,
         "q_golden_protoblock_faces": q_golden_protoblock_faces,
+        "q_protoblock_sidewalk_filter": q_protoblock_sidewalk_filter,
     }
 
 
@@ -702,6 +724,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_protoblock_sidewalk_filter": f"""
+            WITH s AS (SELECT * FROM
+                       read_parquet('{SP}/esw_segments.parquet/*.parquet')),
+                 b AS (SELECT * FROM {blocks}),
+                 cand AS (
+                   SELECT b.block_id, s.way_id, s.way_len,
+                          (s.bx - s.ax) * (ymin - s.ay)
+                            - (s.by - s.ay) * (xmin - s.ax) AS s1,
+                          (s.bx - s.ax) * (ymin - s.ay)
+                            - (s.by - s.ay) * (xmax - s.ax) AS s2,
+                          (s.bx - s.ax) * (ymax - s.ay)
+                            - (s.by - s.ay) * (xmax - s.ax) AS s3,
+                          (s.bx - s.ax) * (ymax - s.ay)
+                            - (s.by - s.ay) * (xmin - s.ax) AS s4
+                   FROM b JOIN s
+                     ON greatest(s.ax, s.bx) >= b.xmin
+                    AND least(s.ax, s.bx) <= b.xmax
+                    AND greatest(s.ay, s.by) >= b.ymin
+                    AND least(s.ay, s.by) <= b.ymax),
+                 hit AS (
+                   SELECT DISTINCT block_id, way_id, way_len FROM cand
+                   WHERE NOT (s1 > 0 AND s2 > 0 AND s3 > 0 AND s4 > 0)
+                     AND NOT (s1 < 0 AND s2 < 0 AND s3 < 0 AND s4 < 0)),
+                 inc AS (SELECT block_id, sum(way_len) AS inc_len
+                         FROM hit GROUP BY block_id)
+            SELECT b.block_id,
+                   CAST(round(coalesce(inc.inc_len, 0.0) * 1000) AS BIGINT)
+                     AS inc_len_mm,
+                   round(pow(coalesce(inc.inc_len, 0.0) / 4.0, 2)
+                         / ((xmax - xmin) * (ymax - ymin)) * 100.0, 6)
+                     + 0.0 AS sidewalks_ratio,
+                   (pow(coalesce(inc.inc_len, 0.0) / 4.0, 2)
+                    / ((xmax - xmin) * (ymax - ymin)) * 100.0
+                    <= {P.CUTOFF_PERCENT_PROTOBLOCK}) AS keep
+            FROM b LEFT JOIN inc USING (block_id)
         """,
         "q_golden_counts": _golden_counts_sql(),
         "q_golden_kerb_anchor": _golden_kerb_anchor_sql(),

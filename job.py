@@ -57,10 +57,11 @@ def main(argv=None):
         F.greatest("ax", "bx"), F.greatest("ay", "by"),
         args.tile_size, pad=args.halo)))
     k3 = PL.make_tile_kernel(args.tile_size)
-    empty_ctx = pd.DataFrame(columns=["ckind", "ax", "ay", "bx", "by"])
+    ctx = PL.load_context_tiled(spark, args.sf_dir, args.tile_size,
+                                args.halo)
     feats = run_tiled_job(
-        spark, tiled, lambda key, pdf: k3(key, pdf, empty_ctx),
-        PL.FEATURE_SCHEMA, str(out / "tiles"))
+        spark, tiled, k3, PL.FEATURE_SCHEMA, str(out / "job_state"),
+        ctx_tiled=ctx)
     feats.cache()
 
     # --- page join ---

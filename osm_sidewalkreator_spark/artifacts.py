@@ -25,7 +25,7 @@ def ensure_features(spark: SparkSession, sf_dir: str) -> Path:
     - ``kerbs_xy.parquet``: kerb points + owning crossing
     """
     synth = ensure_synth(sf_dir)
-    marker = synth / "_FEATURES_OK"
+    marker = synth / "_FEATURES_OK_v2"  # v2: planet-scale fids + A10
     if marker.exists():
         return synth
     feats = PL.generate_features(spark, sf_dir)
@@ -35,14 +35,22 @@ def ensure_features(spark: SparkSession, sf_dir: str) -> Path:
     sw = feats.filter(F.col("kind") == "sidewalk")
     segs = (sw.withColumn("seg", F.explode(st_explode_segments("geometry")))
             .select("fid", "seg.*"))
-    # deterministic seg_id: ordinal within the feature by coordinates
+    # deterministic seg_id: 63-bit hash of (fid, in-feature ordinal by
+    # coordinates) — fids are themselves 63-bit mixes, so arithmetic
+    # packing (fid * 10_000) would overflow int64
     from pyspark.sql import Window
     w = Window.partitionBy("fid").orderBy("ax", "ay", "bx", "by")
     segs = segs.withColumn(
-        "seg_id", F.col("fid") * 10_000 + F.row_number().over(w))
+        "seg_id", F.pmod(F.xxhash64("fid", F.row_number().over(w)),
+                         F.lit(1 << 62)))
     (segs.select("seg_id", "fid", "ax", "ay", "bx", "by").repartition(4)
      .write.mode("overwrite")
      .parquet(str(synth / "sidewalk_segments.parquet")))
+    esw = PL.existing_sidewalk_segments(PL.load_streets(spark, sf_dir)) \
+        .select(F.col("osm_id").alias("way_id"), "way_len",
+                "ax", "ay", "bx", "by")
+    (esw.repartition(1).write.mode("overwrite")
+     .parquet(str(synth / "esw_segments.parquet")))
     kerbs = feats.filter(F.col("kind") == "kerb").select(
         "fid", F.col("ref_id").alias("crossing_fid"),
         F.col("cx").alias("x"), F.col("cy").alias("y"))

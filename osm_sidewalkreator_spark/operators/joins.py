@@ -79,6 +79,49 @@ def pip_join_points_rects(points: DataFrame, rects: DataFrame,
              .drop("cell"))
 
 
+def incidence_length_join(rects: DataFrame, segments: DataFrame,
+                          cell_size: float = 128.0) -> DataFrame:
+    """J8 summed-length incidence (``create_incidence_field_layers_A_B``
+    with ``total_length_instead=True``, generic_functions.py:1408-1465,
+    used for the A10 protoblock filter at osm_sidewalkreator.py:733-762).
+
+    rects: (block_id, xmin, ymin, xmax, ymax); segments: (way_id,
+    way_len, ax, ay, bx, by) — ways intersecting a rect contribute their
+    FULL ``way_len`` once. Exact segment-vs-rect predicate is the
+    separating-axis test in pure column algebra (JVM codegen): bbox
+    overlap on x/y plus the rect's corners not strictly on one side of
+    the segment line. Cell equi-join candidates keep it shuffle-bounded.
+    """
+    r = rects.withColumn("cell", F.explode(cover_cells(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        cell_size)))
+    s = segments.withColumn("cell", F.explode(cover_cells(
+        F.least("ax", "bx"), F.least("ay", "by"),
+        F.greatest("ax", "bx"), F.greatest("ay", "by"), cell_size)))
+    j = r.join(s, "cell")
+    bbox_ok = ((F.greatest("ax", "bx") >= F.col("xmin"))
+               & (F.least("ax", "bx") <= F.col("xmax"))
+               & (F.greatest("ay", "by") >= F.col("ymin"))
+               & (F.least("ay", "by") <= F.col("ymax")))
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+
+    def side(cx, cy):
+        return dx * (cy - F.col("ay")) - dy * (cx - F.col("ax"))
+
+    s1 = side(F.col("xmin"), F.col("ymin"))
+    s2 = side(F.col("xmax"), F.col("ymin"))
+    s3 = side(F.col("xmax"), F.col("ymax"))
+    s4 = side(F.col("xmin"), F.col("ymax"))
+    not_separated = ~((s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)) \
+        & ~((s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0))
+    return (j.filter(bbox_ok & not_separated)
+            .groupBy("block_id", "way_id")
+            .agg(F.first("way_len").alias("way_len"))
+            .groupBy("block_id")
+            .agg(F.sum("way_len").alias("inc_len")))
+
+
 def pip_join_points_polygons(points: DataFrame, polys: DataFrame,
                              cell_size: float = 128.0,
                              point_id: str = "url",

@@ -71,10 +71,10 @@ def ensure_pages_geo(spark: SparkSession, sf_dir: str) -> str:
     DuckDB oracles for downstream joins read the same parquet."""
     synth = ensure_synth(sf_dir)
     out = synth / "pages_geo.parquet"
-    if not (synth / "_PAGES_GEO_OK").exists():
+    if not (synth / "_PAGES_GEO_OK_v2").exists():
         df = geocode_pages(load_pages(spark, sf_dir), sf_dir)
         (df.select("url", "lang", "x", "y", "lon", "lat")
            .coalesce(4)
            .write.mode("overwrite").parquet(str(out)))
-        (synth / "_PAGES_GEO_OK").write_text("ok")
+        (synth / "_PAGES_GEO_OK_v2").write_text("ok")
     return str(out)

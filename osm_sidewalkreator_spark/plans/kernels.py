@@ -85,6 +85,44 @@ def remove_dangles(segs: np.ndarray, attrs: np.ndarray | None = None,
     return cur, np.asarray(attrs)[keep_idx]
 
 
+def filter_protoblocks_by_existing_sidewalks(
+        blocks: list[np.ndarray], esw_segs: np.ndarray,
+        esw_way_ids: np.ndarray, esw_way_lens: np.ndarray,
+        cutoff: float = P.CUTOFF_PERCENT_PROTOBLOCK) -> list[np.ndarray]:
+    """A10: drop protoblocks already surrounded by mapped sidewalks
+    (osm_sidewalkreator.py:733-762,
+    full_sidewalkreator_bbox_algorithm.py:1440-1487).
+
+    For each protoblock, incident existing-sidewalk WAYS (any segment
+    not disjoint from the block polygon) contribute their FULL feature
+    length once (generic_functions.py:1448-1456); drop the block when
+    ``((inc_len/4)^2 / area) * 100 > cutoff`` — the (len/4)^2 square
+    approximation of the enclosed sidewalk loop's area.
+    """
+    if not blocks or len(esw_segs) == 0:
+        return blocks
+    esw_way_ids = np.asarray(esw_way_ids, dtype=object)
+    esw_way_lens = np.asarray(esw_way_lens, dtype=np.float64)
+    kept = []
+    for ring in blocks:
+        inc = core.points_in_ring(esw_segs[:, 0], esw_segs[:, 1], ring) \
+            | core.points_in_ring(esw_segs[:, 2], esw_segs[:, 3], ring)
+        if not inc.all():
+            edges = np.hstack([ring, np.roll(ring, -1, axis=0)])
+            inc |= _segs_intersect_matrix(esw_segs, edges).any(axis=1)
+        if not inc.any():
+            kept.append(ring)
+            continue
+        ids = esw_way_ids[inc]
+        _, first = np.unique(ids.astype(str), return_index=True)
+        inc_len = float(esw_way_lens[inc][first].sum())
+        area = abs(core.ring_signed_area(ring))
+        ratio = (((inc_len / 4.0) ** 2) / area) * 100.0 if area > 0 else 0.0
+        if ratio <= cutoff:
+            kept.append(ring)
+    return kept
+
+
 def protoblocks(noded_segs: np.ndarray, min_area: float = 1.0
                 ) -> list[np.ndarray]:
     """Polygonize the noded street network into city-block rings (G6).
@@ -657,6 +695,7 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
                   building_segs: np.ndarray | None = None,
                   pois: np.ndarray | None = None,
                   way_ids: np.ndarray | None = None,
+                  existing_sw: tuple | None = None,
                   refine_lines: bool = True) -> dict:
     """Full geometry pipeline for one tile's street segments (local TM).
 
@@ -681,6 +720,11 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
     noded_ways = (np.asarray(way_ids, dtype=object)[parent]
                   if way_ids is not None else None)
     blocks = protoblocks(noded)
+    # A10: drop blocks whose sidewalks are already mapped — BEFORE the
+    # G24 ring keep-set, so the engine does not redraw them
+    if existing_sw is not None:
+        blocks = filter_protoblocks_by_existing_sidewalks(
+            blocks, existing_sw[0], existing_sw[1], existing_sw[2])
     sw_rings, _ext = sidewalk_rings(noded, w)
 
     # G24: keep rings intersecting the protoblock area (+0.5 m buffer in

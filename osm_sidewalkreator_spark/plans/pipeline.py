@@ -130,6 +130,18 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(z: int) -> int:
+    """SplitMix64 finalizer (public-domain PRNG mix): deterministic
+    64-bit avalanche used to mint feature ids from (tile, kind)."""
+    z = (z + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
 def _tile_bounds(tile: int, size: float) -> tuple[float, float, float, float]:
     ix = np.int64(tile) >> 32
     iy = np.int64(np.int64(tile) & np.int64(0xFFFFFFFF)).astype(np.int32)
@@ -170,6 +182,7 @@ def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
                  "sidewalk_both") if c in pdf.columns}
         building_segs = None
         pois = None
+        existing_sw = None
         if ctx is not None and len(ctx):
             bmask = (ctx["ckind"] == "bseg").to_numpy()
             if bmask.any():
@@ -179,22 +192,34 @@ def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
             pmask = (ctx["ckind"] == "poi").to_numpy()
             if pmask.any():
                 pois = ctx.loc[pmask, ["ax", "ay"]].to_numpy(dtype=np.float64)
+            emask = (ctx["ckind"] == "esw").to_numpy()
+            if emask.any():
+                es = ctx.loc[emask, ["ax", "ay", "bx", "by"]] \
+                    .to_numpy(dtype=np.float64)
+                es, ekeep = kernels.clip_segments_to_box(es, hbox)
+                if len(es):
+                    existing_sw = (
+                        es,
+                        ctx.loc[emask, "cid"].to_numpy(dtype=object)[ekeep],
+                        ctx.loc[emask, "clen"]
+                           .to_numpy(dtype=np.float64)[ekeep])
         out = kernels.tile_pipeline(
             segs, widths, tags or None, building_segs=building_segs,
-            pois=pois, way_ids=pdf["osm_id"].to_numpy(dtype=object))
+            pois=pois, way_ids=pdf["osm_id"].to_numpy(dtype=object),
+            existing_sw=existing_sw)
         rows = []
 
         def emit(kind, fid, geom, length, area, ref_id, cx, cy):
             rows.append((tile, kind, fid, geom, length, area, ref_id, cx, cy))
 
-        # deterministic compact fids: 24-bit tile grid position + kind +
-        # ordinal (keeps fid*10_000 safely inside int64 for derived ids)
-        ix = int(np.int64(tile) >> 32) & 0xFFF
-        iy = int(np.int64(tile)) & 0xFFF
-        tile_small = (ix << 12) | iy
-
+        # deterministic planet-scale fids: a 63-bit mix of the FULL tile
+        # id and kind, plus the in-tile ordinal. (tile, kind, ordinal) is
+        # unique by construction; the mixed fid is unique w.h.p. at any
+        # scale — unlike the round-1 24-bit tile prefix, which collided
+        # for tiles 4096 cells apart.
         def fid_of(kind_code: int, ordinal: int) -> int:
-            return tile_small * 1_000_000 + kind_code * 100_000 + ordinal
+            return (_splitmix64(_splitmix64(tile & _M64) ^ kind_code)
+                    + ordinal) & 0x7FFFFFFFFFFFFFFF
 
         blocks = sorted(out["protoblocks"],
                         key=lambda r: (round(core.ring_centroid(r)[0], 6),
@@ -243,9 +268,30 @@ def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
     return kernel
 
 
+def existing_sidewalk_segments(streets: DataFrame) -> DataFrame:
+    """Pre-existing ``footway=sidewalk`` ways as TM segments with each
+    parent way's TOTAL length attached (the A10 incidence sums FULL
+    feature lengths, not clipped pieces — generic_functions.py:1448-1456,
+    capture at osm_sidewalkreator.py:662-676)."""
+    esw = streets.filter(F.element_at(F.col("tags"), "footway")
+                         == "sidewalk")
+    tm = esw.withColumn(
+        "geom_tm", make_transform_udf(CITY_LON0, CITY_LAT0, True)("geometry"))
+    seg = (tm.withColumn("seg", F.explode(st_explode_segments("geom_tm")))
+           .select("osm_id",
+                   F.col("seg.ax").alias("ax"), F.col("seg.ay").alias("ay"),
+                   F.col("seg.bx").alias("bx"), F.col("seg.by").alias("by")))
+    seglen = F.sqrt(F.pow(F.col("bx") - F.col("ax"), 2)
+                    + F.pow(F.col("by") - F.col("ay"), 2))
+    way_len = (seg.groupBy("osm_id")
+               .agg(F.sum(seglen).alias("way_len")))
+    return seg.join(F.broadcast(way_len), "osm_id")
+
+
 def load_context_tiled(spark: SparkSession, sf_dir: str,
                        tile_size: float, halo: float) -> DataFrame:
-    """Building boundary segments + POI points, tile-assigned with halo.
+    """Building boundary segments + POI points + pre-existing sidewalk
+    segments, tile-assigned with halo.
 
     Addresses double as the splitting POIs (reference merges building
     centroids and address points, osm_sidewalkreator.py:2908-2931).
@@ -258,12 +304,20 @@ def load_context_tiled(spark: SparkSession, sf_dir: str,
                  st_explode_boundary_segments("geometry")))
              .select(F.lit("bseg").alias("ckind"),
                      F.col("seg.ax").alias("ax"), F.col("seg.ay").alias("ay"),
-                     F.col("seg.bx").alias("bx"), F.col("seg.by").alias("by")))
+                     F.col("seg.bx").alias("bx"), F.col("seg.by").alias("by"),
+                     F.lit(None).cast("string").alias("cid"),
+                     F.lit(None).cast("double").alias("clen")))
     addrs = spark.read.parquet(str(synth / "addresses.parquet")) \
         .select(F.lit("poi").alias("ckind"),
                 F.col("x").alias("ax"), F.col("y").alias("ay"),
-                F.col("x").alias("bx"), F.col("y").alias("by"))
-    ctx = bsegs.unionByName(addrs)
+                F.col("x").alias("bx"), F.col("y").alias("by"),
+                F.lit(None).cast("string").alias("cid"),
+                F.lit(None).cast("double").alias("clen"))
+    esw = existing_sidewalk_segments(load_streets(spark, sf_dir)) \
+        .select(F.lit("esw").alias("ckind"), "ax", "ay", "bx", "by",
+                F.col("osm_id").alias("cid"),
+                F.col("way_len").alias("clen"))
+    ctx = bsegs.unionByName(addrs).unionByName(esw)
     return ctx.withColumn(
         "tile", F.explode(cover_cells(
             F.least("ax", "bx"), F.least("ay", "by"),

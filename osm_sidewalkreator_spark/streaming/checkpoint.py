@@ -1,19 +1,36 @@
 """Per-tile checkpoint manifest: lineage, metrics, resume.
 
 North-rule requirement: the job "checkpoints per-partition with lineage
-+ metrics so it resumes mid-tile". Implementation: each tile's output is
-written to its own parquet file under the job directory; a manifest row
-(tile id, input fingerprint, row counts per kind, wall time) commits
-after the write. Resume = anti-join the tile work-list against committed
-manifest rows — only missing/changed tiles are recomputed. Writes are
-idempotent (same tile id -> same path, overwrite), so a crash between
-write and commit re-does exactly one tile.
++ metrics so it resumes mid-tile". Design (executor-side commit):
+
+- Each tile's output parquet is written BY THE TASK that computed it
+  (inside the cogrouped kernel), to ``tiles/tile_<id>.parquet`` via
+  write-to-tmp + atomic rename — idempotent under retries and
+  speculative duplicates (same tile -> same path, same content).
+- The task then drops a commit marker ``markers/<id>.json`` (tile id,
+  input fingerprint, per-kind counts, seconds, path), also via rename.
+  A crash between parquet and marker re-does exactly one tile.
+- The driver never materializes feature rows: it only compacts marker
+  files into ``manifest.jsonl`` (idempotent, runs at start and end so a
+  crashed run's markers are recovered) and reads the committed paths.
+- Resume = anti-join the per-tile input fingerprints against the
+  manifest: only missing or changed tiles recompute. Fingerprints are
+  an order-independent ``bit_xor(xxhash64(...))`` aggregate — one
+  shuffle of 8-byte values, no ``collect_list`` of row payloads.
+- Tiles whose kernel emits zero rows still commit a marker (counts={}),
+  so they are not recomputed forever.
+
+On this single-node sandbox the tile store is the local FS; on a real
+cluster the same protocol targets a task-writable shared store (object
+store / DFS) — the rename-commit seam is the only thing to swap.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
+import uuid
 from pathlib import Path
 
 import pandas as pd
@@ -25,6 +42,8 @@ class TileManifest:
     def __init__(self, job_dir: str):
         self.dir = Path(job_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
+        (self.dir / "tiles").mkdir(exist_ok=True)
+        (self.dir / "markers").mkdir(exist_ok=True)
         self.manifest_path = self.dir / "manifest.jsonl"
 
     def committed(self) -> dict[int, dict]:
@@ -36,58 +55,126 @@ class TileManifest:
                     out[row["tile"]] = row
         return out
 
-    def pending_tiles(self, tiles_df: DataFrame,
-                      fingerprints: dict[int, int]) -> list[int]:
-        """Tiles not committed, or committed with a different input
-        fingerprint (lineage check)."""
+    def compact_markers(self) -> int:
+        """Fold executor-written commit markers into manifest.jsonl
+        (idempotent: newest marker for a tile wins; markers removed)."""
         done = self.committed()
-        tiles = [r["tile"] for r in tiles_df.select("tile").distinct()
-                 .collect()]
-        return [t for t in tiles
-                if t not in done
-                or done[t].get("input_fingerprint") != fingerprints.get(t)]
+        moved = 0
+        for mpath in sorted((self.dir / "markers").glob("*.json")):
+            try:
+                row = json.loads(mpath.read_text())
+            except (json.JSONDecodeError, OSError):
+                continue  # half-written stray; rename protocol makes
+                # this unreachable for completed commits
+            done[row["tile"]] = row
+            mpath.unlink()
+            moved += 1
+        if moved:
+            tmp = self.manifest_path.with_suffix(".tmp")
+            with open(tmp, "w") as f:
+                for row in done.values():
+                    f.write(json.dumps(row) + "\n")
+            os.replace(tmp, self.manifest_path)
+        return moved
 
-    def commit(self, tile: int, input_fingerprint: int,
-               counts: dict[str, int], seconds: float, path: str):
-        row = {"tile": tile, "input_fingerprint": input_fingerprint,
-               "counts": counts, "seconds": round(seconds, 3),
-               "path": path, "committed_at": time.time()}
-        with open(self.manifest_path, "a") as f:
-            f.write(json.dumps(row) + "\n")
+
+def _atomic_write_parquet(pdf: pd.DataFrame, path: Path, arrow_schema):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tmp = path.with_name(f".{path.name}.{uuid.uuid4().hex}.tmp")
+    # explicit schema: pandas infers float64/object for nullable int
+    # columns, which would not round-trip through the Spark read schema
+    table = pa.Table.from_pandas(pdf, schema=arrow_schema,
+                                 preserve_index=False)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _atomic_write_json(obj: dict, path: Path):
+    tmp = path.with_name(f".{path.name}.{uuid.uuid4().hex}.tmp")
+    tmp.write_text(json.dumps(obj))
+    os.replace(tmp, path)
+
+
+_SUMMARY_SCHEMA = "tile long, n_rows long, seconds double"
 
 
 def run_tiled_job(spark: SparkSession, segs_tiled: DataFrame,
-                  kernel, schema, job_dir: str) -> DataFrame:
-    """Resumable tiled execution: compute only uncommitted tiles, write
-    one parquet per tile, commit manifest rows, return the union of all
-    tile outputs (committed + fresh).
+                  kernel, schema, job_dir: str,
+                  ctx_tiled: DataFrame | None = None,
+                  n_part: int | None = None) -> DataFrame:
+    """Resumable tiled execution with executor-side tile commit.
 
-    ``segs_tiled`` must carry a ``tile`` column; the input fingerprint is
-    xxhash64 over each tile's sorted segment set.
+    ``segs_tiled`` must carry a ``tile`` column (plus osm_id/ax/ay/bx/by
+    for the lineage fingerprint). ``kernel(key, pdf, ctx_pdf)`` is the
+    cogrouped tile kernel (``ctx_pdf`` empty when ``ctx_tiled`` is None).
+    Returns the union of all committed tile outputs.
     """
     man = TileManifest(job_dir)
-    fp = {r["tile"]: r["fp"] for r in
-          (segs_tiled.groupBy("tile")
-           .agg(F.xxhash64(F.sort_array(F.collect_list(F.concat_ws(
-               ",", F.col("osm_id"), F.col("ax"), F.col("ay"),
-               F.col("bx"), F.col("by"))))).alias("fp"))
-           .collect())}
-    pending = man.pending_tiles(segs_tiled, fp)
-    if pending:
-        sub = segs_tiled.filter(F.col("tile").isin(pending))
-        fresh = sub.groupBy("tile").applyInPandas(kernel, schema)
-        t0 = time.time()
-        pdf = fresh.toPandas()
-        dt = time.time() - t0
-        for tile, grp in pdf.groupby("tile"):
-            path = str(Path(job_dir) / f"tile_{tile}.parquet")
-            grp.to_parquet(path, index=False)
-            counts = grp.groupby("kind").size().to_dict()
-            man.commit(int(tile), fp.get(int(tile)),
-                       {k: int(v) for k, v in counts.items()},
-                       dt / max(len(pdf["tile"].unique()), 1), path)
+    man.compact_markers()  # recover a crashed run's commits
+
+    fp_df = segs_tiled.groupBy("tile").agg(
+        F.expr("bit_xor(xxhash64(osm_id, ax, ay, bx, by))").alias("fp"))
     done = man.committed()
-    paths = [r["path"] for r in done.values() if Path(r["path"]).exists()]
+    if done:
+        man_df = spark.createDataFrame(
+            [(r["tile"], r["input_fingerprint"]) for r in done.values()],
+            "tile long, fp long")
+        pend_df = fp_df.join(man_df, ["tile", "fp"], "left_anti")
+    else:
+        pend_df = fp_df
+
+    tiles_dir = Path(job_dir) / "tiles"
+    markers_dir = Path(job_dir) / "markers"
+    out_cols = [f.name for f in schema.fields]
+    from pyspark.sql.pandas.types import to_arrow_schema
+    arrow_schema = to_arrow_schema(schema)
+
+    def committing_kernel(key, pdf: pd.DataFrame, ctx: pd.DataFrame
+                          ) -> pd.DataFrame:
+        tile = int(key[0])
+        t0 = time.time()
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["tile", "n_rows", "seconds"])
+        fp = int(pdf["fp"].iloc[0])
+        out = kernel(key, pdf.drop(columns=["fp"]), ctx)
+        path = tiles_dir / f"tile_{tile}.parquet"
+        counts: dict[str, int] = {}
+        if len(out):
+            _atomic_write_parquet(out, path, arrow_schema)
+            if "kind" in out.columns:
+                counts = {k: int(v) for k, v in
+                          out.groupby("kind").size().items()}
+        dt = time.time() - t0
+        _atomic_write_json(
+            {"tile": tile, "input_fingerprint": fp, "counts": counts,
+             "seconds": round(dt, 3),
+             "path": str(path) if len(out) else None,
+             "committed_at": time.time()},
+            markers_dir / f"{tile}.json")
+        return pd.DataFrame([(tile, len(out), dt)],
+                            columns=["tile", "n_rows", "seconds"])
+
+    sub = segs_tiled.join(F.broadcast(pend_df), "tile")
+    if n_part is None:
+        n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
+    sub = sub.repartition(n_part, "tile")
+    if ctx_tiled is not None:
+        summary = (sub.groupBy("tile")
+                   .cogroup(ctx_tiled.repartition(n_part, "tile")
+                            .groupBy("tile"))
+                   .applyInPandas(committing_kernel, _SUMMARY_SCHEMA))
+    else:
+        empty_ctx = pd.DataFrame(columns=["ckind", "ax", "ay", "bx", "by"])
+        summary = sub.groupBy("tile").applyInPandas(
+            lambda key, pdf: committing_kernel(key, pdf, empty_ctx),
+            _SUMMARY_SCHEMA)
+    summary.count()  # force execution; rows live executor-side only
+    man.compact_markers()
+
+    done = man.committed()
+    paths = [r["path"] for r in done.values()
+             if r.get("path") and Path(r["path"]).exists()]
     if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
+    return spark.read.schema(schema).parquet(*paths).select(*out_cols)

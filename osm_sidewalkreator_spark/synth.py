@@ -148,12 +148,18 @@ def city_streets(k: int) -> dict:
     mid2 = (node(0, 2) + node(1, 2)) / 2
     add([node(0, 2), mid2, mid2, node(1, 2)], "tertiary")
 
-    # a pre-existing sidewalk footway ring inside block (0,0) (class
-    # width 0 -> dropped by the width filter, P7)
-    c0 = node(0, 0) + [50.0, 50.0]
-    ring = [c0 + [-30, -30], c0 + [30, -30], c0 + [30, 30],
-            c0 + [-30, 30], c0 + [-30, -30]]
-    add(ring, "footway", tags={"footway": "sidewalk"})
+    # pre-existing sidewalk footway rings (class width 0 -> dropped from
+    # the street network by the width filter P7, captured separately for
+    # the A10 protoblock ratio filter, osm_sidewalkreator.py:662-695):
+    # - block (0,0): 60x60 ring; the diagonal avenue halves the block, so
+    #   each triangle sees ratio (60^2/5000)*100 = 72 > 40 -> dropped
+    # - block (1,0): 82x82 ring, ratio (82^2/10000)*100 = 67 > 40 -> drop
+    # - block (0,1): 40x40 ring, ratio (40^2/10000)*100 = 16 <= 40 -> keep
+    for (bi, bj), h in (((0, 0), 30.0), ((1, 0), 41.0), ((0, 1), 20.0)):
+        c0 = node(bi, bj) + [50.0, 50.0]
+        ring = [c0 + [-h, -h], c0 + [h, -h], c0 + [h, h],
+                c0 + [-h, h], c0 + [-h, -h]]
+        add(ring, "footway", tags={"footway": "sidewalk"})
 
     # a service alley inside a block (width 0 class)
     add([node(2, 0) + [10.0, 10.0], node(2, 0) + [80.0, 40.0]], "service")
@@ -179,7 +185,7 @@ def ensure_synth(sf_dir: str) -> Path:
     name = scale_name(sf_dir)
     cfg = SCALES[name]
     out = SYNTH_ROOT / name
-    marker = out / "_SYNTH_OK"
+    marker = out / "_SYNTH_OK_v2"  # v2: A10 existing-sidewalk rings
     if marker.exists():
         return out
     out.mkdir(parents=True, exist_ok=True)

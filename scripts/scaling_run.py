@@ -22,8 +22,12 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
+    # shuffle-partition count held CONSTANT across parallelism levels so
+    # the comparison isolates cores (same plan, same partition count)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_SF_DIR=sf_dir)
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_SHUFFLE=os.environ.get(
+                   "SPARK_GRAFT_SHUFFLE", "64"))
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")], env=env,
         capture_output=True, text=True, timeout=3600)

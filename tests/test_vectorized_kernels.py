@@ -248,3 +248,40 @@ def test_tag_zones_vectorized_matches_loop():
         assert len(g_list) == len(w_list)
         for g, x in zip(g_list, w_list):
             assert np.allclose(g, x, atol=1e-12)
+
+
+# ---------- A10 existing-sidewalk protoblock filter ----------
+
+def test_protoblock_existing_sidewalk_filter():
+    """osm_sidewalkreator.py:733-762: drop blocks whose incident
+    existing-sidewalk ways' (len/4)^2-to-area ratio exceeds 40%."""
+    blocks = [
+        np.array([[0, 0], [100, 0], [100, 100], [0, 100]], float),
+        np.array([[100, 0], [200, 0], [200, 100], [100, 100]], float),
+        np.array([[200, 0], [300, 0], [300, 100], [200, 100]], float),
+    ]
+    # way A: 82x82 ring inside block 0 -> ratio 67.24 -> drop block 0
+    ra = np.array([[9, 9], [91, 9], [91, 91], [9, 91], [9, 9]], float)
+    segs_a = np.hstack([ra[:-1], ra[1:]])
+    # way B: 40x40 ring inside block 1 -> ratio 16 -> keep
+    rb = np.array([[130, 30], [170, 30], [170, 70], [130, 70],
+                   [130, 30]], float)
+    segs_b = np.hstack([rb[:-1], rb[1:]])
+    segs = np.vstack([segs_a, segs_b])
+    ids = np.array(["A"] * 4 + ["B"] * 4, dtype=object)
+    lens = np.array([328.0] * 4 + [160.0] * 4)
+    kept = kernels.filter_protoblocks_by_existing_sidewalks(
+        blocks, segs, ids, lens)
+    assert len(kept) == 2
+    assert kept[0] is blocks[1] and kept[1] is blocks[2]
+    # a way SPANNING two blocks contributes its FULL length to both
+    # (reference sums feature lengths, not clipped pieces)
+    rc = np.array([[50, 50], [250, 50], [250, 60], [50, 60], [50, 50]],
+                  float)  # 420 m perimeter crossing blocks 0..2
+    segs_c = np.hstack([rc[:-1], rc[1:]])
+    ids_c = np.array(["C"] * 4, dtype=object)
+    lens_c = np.full(4, 420.0)
+    kept2 = kernels.filter_protoblocks_by_existing_sidewalks(
+        blocks, segs_c, ids_c, lens_c)
+    # (420/4)^2/10000*100 = 110.25 > 40 in every touched block
+    assert kept2 == []
