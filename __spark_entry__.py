@@ -286,6 +286,61 @@ def q_lineitem_pricing(spark, sf_dir):
                        .cast("long")).alias("sum_disc_c")))
 
 
+def q_extract_by_location(spark, sf_dir):
+    """J1: qgis:extractbylocation predicate set (generic_functions.py:
+    314-350) — 2-vertex street segments vs ground-truth block rects.
+    Emits every truly-intersecting (segment, block) pair with its
+    within/crosses/touches DE-9IM classification; pure column algebra
+    both engine- and oracle-side."""
+    from osm_sidewalkreator_spark.operators import predicates as PR
+    st = PL.load_streets(spark, sf_dir).filter(F.col("n_vertices") == 2) \
+        .select("osm_id", F.col("x1").alias("ax"), F.col("y1").alias("ay"),
+                F.col("x2").alias("bx"), F.col("y2").alias("by"))
+    blocks = _synth(spark, sf_dir, "blocks")
+    s = st.withColumn("cell", F.explode(
+        PR.cover_cells(F.least("ax", "bx"), F.least("ay", "by"),
+                       F.greatest("ax", "bx"), F.greatest("ay", "by"),
+                       P.CELL_SIZE_M)))
+    r = blocks.withColumn("cell", F.explode(
+        PR.cover_cells(F.col("xmin"), F.col("ymin"),
+                       F.col("xmax"), F.col("ymax"), P.CELL_SIZE_M)))
+    flags = PR._with_flags(s.join(r, "cell"))
+    return (flags.filter(F.col("intersects"))
+            .select("osm_id", "block_id", "within", "crosses", "touches")
+            .distinct())
+
+
+def q_convex_hull(spark, sf_dir):
+    """G9 convex hull (native:convexhull, generic_functions.py:220-227):
+    hull of each block's pages (monotone chain kernel). Rows-only — the
+    hull is a geometry kernel, properties pinned in
+    tests/test_predicates_hull.py."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    import numpy as np
+    from osm_sidewalkreator_spark.geometry.hull import convex_hull
+    pg = _pages_geo(spark, sf_dir)
+    blocks = _synth(spark, sf_dir, "blocks")
+    pip = J.pip_join_points_rects(pg.select("url", "x", "y"), blocks,
+                                  cell_size=P.CELL_SIZE_M)
+    schema = T.StructType([T.StructField("block_id", T.LongType()),
+                           T.StructField("n_hull", T.IntegerType()),
+                           T.StructField("hull_area", T.DoubleType())])
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = convex_hull(pdf[["x", "y"]].to_numpy(dtype=np.float64))
+        if len(h) < 3:
+            area = 0.0
+        else:
+            x, y = h[:, 0], h[:, 1]
+            area = 0.5 * abs(float(np.dot(x, np.roll(y, -1))
+                                   - np.dot(y, np.roll(x, -1))))
+        return pd.DataFrame([(int(key[0]), len(h), round(area, 3))],
+                            columns=["block_id", "n_hull", "hull_area"])
+
+    return pip.groupBy("block_id").applyInPandas(kern, schema)
+
+
 def q_protoblock_sidewalk_filter(spark, sf_dir):
     """A10: existing-sidewalk incidence ratio per block (J8 sum-length
     variant feeding the >40% drop, osm_sidewalkreator.py:733-762).
@@ -484,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_golden_crossing_length": q_golden_crossing_length,
         "q_golden_protoblock_faces": q_golden_protoblock_faces,
         "q_protoblock_sidewalk_filter": q_protoblock_sidewalk_filter,
+        "q_extract_by_location": q_extract_by_location,
+        "q_convex_hull": q_convex_hull,
     }
 
 
@@ -724,6 +781,61 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_extract_by_location": f"""
+            WITH s AS (SELECT osm_id, x1 AS ax, y1 AS ay,
+                              x2 AS bx, y2 AS by,
+                              least(x1, x2) AS sxmin,
+                              greatest(x1, x2) AS sxmax,
+                              least(y1, y2) AS symin,
+                              greatest(y1, y2) AS symax
+                       FROM {streets} WHERE n_vertices = 2),
+                 -- bbox precomputed as columns: greatest()/least() inside
+                 -- the join condition trips a DuckDB 1.0 IEJoin internal
+                 -- assertion ("requires a flat vector")
+                 j AS (SELECT s.*, b.block_id, b.xmin, b.ymin,
+                              b.xmax, b.ymax
+                       FROM s JOIN {blocks} b
+                         ON s.sxmax >= b.xmin AND s.sxmin <= b.xmax
+                        AND s.symax >= b.ymin AND s.symin <= b.ymax),
+                 t AS (SELECT *,
+                   greatest(0.0,
+                     CASE WHEN -(bx-ax) < 0
+                          THEN (ax-xmin)/(-(bx-ax)) ELSE 0.0 END,
+                     CASE WHEN (bx-ax) < 0
+                          THEN (xmax-ax)/(bx-ax) ELSE 0.0 END,
+                     CASE WHEN -(by-ay) < 0
+                          THEN (ay-ymin)/(-(by-ay)) ELSE 0.0 END,
+                     CASE WHEN (by-ay) < 0
+                          THEN (ymax-ay)/(by-ay) ELSE 0.0 END) AS t0,
+                   least(1.0,
+                     CASE WHEN -(bx-ax) > 0
+                          THEN (ax-xmin)/(-(bx-ax)) ELSE 1.0 END,
+                     CASE WHEN (bx-ax) > 0
+                          THEN (xmax-ax)/(bx-ax) ELSE 1.0 END,
+                     CASE WHEN -(by-ay) > 0
+                          THEN (ay-ymin)/(-(by-ay)) ELSE 1.0 END,
+                     CASE WHEN (by-ay) > 0
+                          THEN (ymax-ay)/(by-ay) ELSE 1.0 END) AS t1,
+                   (((bx-ax) = 0 AND ((ax-xmin) < 0 OR (xmax-ax) < 0))
+                    OR ((by-ay) = 0 AND ((ay-ymin) < 0 OR (ymax-ay) < 0)))
+                     AS outside
+                   FROM j),
+                 f AS (SELECT *,
+                   (NOT outside AND t0 <= t1) AS inter,
+                   ax + ((t0+t1)/2)*(bx-ax) AS mx,
+                   ay + ((t0+t1)/2)*(by-ay) AS my
+                   FROM t),
+                 g AS (SELECT *,
+                   (inter AND mx > xmin AND mx < xmax
+                          AND my > ymin AND my < ymax) AS int_int,
+                   (t0 > 0 OR t1 < 1) AS has_ext
+                   FROM f)
+            SELECT osm_id, block_id,
+                   (int_int AND NOT has_ext) AS "within",
+                   (int_int AND has_ext) AS crosses,
+                   (inter AND NOT int_int) AS touches
+            FROM g WHERE inter
         """,
         "q_protoblock_sidewalk_filter": f"""
             WITH s AS (SELECT * FROM

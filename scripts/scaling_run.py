@@ -7,6 +7,15 @@ per-core-normalized scaling efficiency:
 
 >= 0.8 is the north-rule bar. Results land in BENCH/BASELINE.md.
 Usage: python scripts/scaling_run.py [sf_dir] [N]
+
+Measurement hygiene on this shared sandbox VM: the hypervisor steals
+CPU in bursts (observed 3-40% for minutes at a time), which corrupts
+wall-clock comparisons. Each leg therefore records the host steal-time
+delta from /proc/stat; legs measured under >2% steal are retried (up to
+3 times), and the final report carries the observed steal so a reader
+can judge validity. A Spark-free multiprocessing control of the tile
+kernel (scripts/mp_control.py) separates engine overhead from host
+effects.
 """
 
 from __future__ import annotations
@@ -15,10 +24,22 @@ import json
 import os
 import subprocess
 import sys
+import time
 from datetime import datetime, timezone
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+STEAL_RETRY = 3
+STEAL_MAX_PCT = 2.0
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies across all cpus."""
+    f = open("/proc/stat").readline().split()
+    vals = [int(x) for x in f[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
@@ -28,12 +49,24 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_SHUFFLE=os.environ.get(
                    "SPARK_GRAFT_SHUFFLE", "64"))
-    out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")], env=env,
-        capture_output=True, text=True, timeout=3600)
-    last = [ln for ln in out.stdout.strip().splitlines()
-            if ln.startswith("{")][-1]
-    return json.loads(last)
+    for attempt in range(STEAL_RETRY):
+        s0, t0 = _cpu_jiffies()
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")], env=env,
+            capture_output=True, text=True, timeout=3600)
+        s1, t1 = _cpu_jiffies()
+        steal_pct = 100.0 * (s1 - s0) / max(t1 - t0, 1)
+        last = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        parsed = json.loads(last)
+        parsed["host_steal_pct"] = round(steal_pct, 2)
+        if steal_pct <= STEAL_MAX_PCT or attempt == STEAL_RETRY - 1:
+            return parsed
+        print(f"leg cpus={cpus}: steal {steal_pct:.1f}% > "
+              f"{STEAL_MAX_PCT}% — retrying ({attempt + 1})",
+              file=sys.stderr)
+        time.sleep(60)
+    raise AssertionError("unreachable")
 
 
 def main():
@@ -59,6 +92,8 @@ def main():
         "scaling_efficiency": round(eff_total, 3),
         "core_t_low": round(core_lo, 3), "core_t_high": round(core_hi, 3),
         "core_scaling_efficiency": round(eff_core, 3),
+        "host_steal_pct": {"low": lo["host_steal_pct"],
+                           "high": hi["host_steal_pct"]},
         "per_query_efficiency": per_q,
         "low": lo, "high": hi,
     }
@@ -78,12 +113,12 @@ def main():
         "## Scaling (north rule: efficiency >= 0.8)",
         "",
         "| config | wall-clock (headline suite) | pages/sec (PIP join) | "
-        "sidewalk segments/sec |",
-        "|---|---|---|---|",
+        "sidewalk segments/sec | host steal % |",
+        "|---|---|---|---|---|",
         f"| local[{n}] | {lo['value']} s | {lo['pages_per_sec']} | "
-        f"{lo['sidewalk_segments_per_sec']} |",
+        f"{lo['sidewalk_segments_per_sec']} | {lo['host_steal_pct']} |",
         f"| local[{4*n}] | {hi['value']} s | {hi['pages_per_sec']} | "
-        f"{hi['sidewalk_segments_per_sec']} |",
+        f"{hi['sidewalk_segments_per_sec']} | {hi['host_steal_pct']} |",
         "",
         f"**Per-core-normalized scaling efficiency (T_{n}/T_{4*n})/4:** "
         f"whole suite = {report['scaling_efficiency']}; "
@@ -99,6 +134,28 @@ def main():
     for q in lo["queries"]:
         md.append(f"| {q} | {lo['queries'][q]} | {hi['queries'][q]} | "
                   f"{per_q.get(q, '')} |")
+    mp = None
+    mp_path = bench_dir / "MP_CONTROL.json"
+    if mp_path.exists():
+        mp = json.loads(mp_path.read_text())
+        md += [
+            "",
+            "## Spark-free control (scripts/mp_control.py)",
+            "",
+            "The tile kernel run under plain multiprocessing on the same "
+            "tiles separates engine overhead from host limits:",
+            "",
+            "| n procs | wall (s) |",
+            "|---|---|",
+        ] + [f"| {k} | {v} |" for k, v in mp["walls"].items()] + [
+            "",
+            f"Control efficiency ({mp['n_low']}->{mp['n_high']}): "
+            f"**{mp['efficiency']}** — the hardware/OS ceiling for this "
+            "workload on this VM; the Spark number above should be read "
+            "against it. glibc malloc mmap/trim thresholds are raised in "
+            "session.py (page-fault churn capped scaling at ~0.68 "
+            "before).",
+        ]
     md += [
         "",
         "## Reference comparison",
