@@ -286,6 +286,20 @@ def q_lineitem_pricing(spark, sf_dir):
                        .cast("long")).alias("sum_disc_c")))
 
 
+def q_alt_kerb_schema(spark, sf_dir):
+    """G19 ALT_SCHEMA export split (osm_sidewalkreator.py:3593-3665):
+    each crossing -> 2 sidewalk stubs + crossing center + 2 kerbs with the
+    reference's tag columns; lengths fixed-point for the exact oracle
+    (recomputed from the crossing_segments artifact both sides read)."""
+    from osm_sidewalkreator_spark.plans.export_alt import (
+        alt_schema_features)
+    feats = _features(spark, sf_dir)
+    out = alt_schema_features(feats)
+    return out.select(
+        "crossing_fid", "part", "highway", "footway", "barrier",
+        F.round(F.col("length") * 1000).cast("long").alias("len_mm"))
+
+
 def q_extract_by_location(spark, sf_dir):
     """J1: qgis:extractbylocation predicate set (generic_functions.py:
     314-350) — 2-vertex street segments vs ground-truth block rects.
@@ -493,7 +507,10 @@ def q_sidewalk_rings(spark, sf_dir):
 
 def q_crossings(spark, sf_dir):
     f = _features(spark, sf_dir).filter(F.col("kind") == "crossing")
-    return f.select("fid", (F.round("length", 3) + 0.0).alias("length_m"))
+    return f.select("fid", (F.round("length", 3) + 0.0).alias("length_m"),
+                    (F.col("ortho_len_dif") + 0.0).alias("ortho_len_dif"),
+                    "above_tol",
+                    (F.col("near_center") + 0.0).alias("nearest_centerpoint"))
 
 
 def q_kerbs(spark, sf_dir):
@@ -541,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_protoblock_sidewalk_filter": q_protoblock_sidewalk_filter,
         "q_extract_by_location": q_extract_by_location,
         "q_convex_hull": q_convex_hull,
+        "q_alt_kerb_schema": q_alt_kerb_schema,
     }
 
 
@@ -781,6 +799,39 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_alt_kerb_schema": f"""
+            WITH cs AS (SELECT * FROM read_parquet(
+                   '{SP}/crossing_segments.parquet/*.parquet')),
+                 stub1 AS (SELECT fid AS crossing_fid,
+                     'sidewalk_stub_1' AS part, 'footway' AS highway,
+                     'sidewalk' AS footway, CAST(NULL AS VARCHAR) AS barrier,
+                     CAST(round(sqrt(pow(bx - ax, 2) + pow(by - ay, 2))
+                          * 1000) AS BIGINT) AS len_mm
+                   FROM cs WHERE seg_idx = 0),
+                 stub2 AS (SELECT fid, 'sidewalk_stub_2', 'footway',
+                     'sidewalk', CAST(NULL AS VARCHAR),
+                     CAST(round(sqrt(pow(bx - ax, 2) + pow(by - ay, 2))
+                          * 1000) AS BIGINT)
+                   FROM cs WHERE seg_idx = 3),
+                 ctr AS (SELECT a.fid, 'crossing_center', 'footway',
+                     'crossing', CAST(NULL AS VARCHAR),
+                     CAST(round((sqrt(pow(a.bx - a.ax, 2)
+                                    + pow(a.by - a.ay, 2))
+                               + sqrt(pow(b.bx - b.ax, 2)
+                                    + pow(b.by - b.ay, 2))) * 1000)
+                          AS BIGINT)
+                   FROM cs a JOIN cs b ON a.fid = b.fid
+                   WHERE a.seg_idx = 1 AND b.seg_idx = 2),
+                 k1 AS (SELECT fid, 'kerb_1', CAST(NULL AS VARCHAR),
+                     CAST(NULL AS VARCHAR), 'kerb', CAST(NULL AS BIGINT)
+                   FROM cs WHERE seg_idx = 1),
+                 k2 AS (SELECT fid, 'kerb_2', CAST(NULL AS VARCHAR),
+                     CAST(NULL AS VARCHAR), 'kerb', CAST(NULL AS BIGINT)
+                   FROM cs WHERE seg_idx = 2)
+            SELECT * FROM stub1 UNION ALL SELECT * FROM stub2
+            UNION ALL SELECT * FROM ctr
+            UNION ALL SELECT * FROM k1 UNION ALL SELECT * FROM k2
         """,
         "q_extract_by_location": f"""
             WITH s AS (SELECT osm_id, x1 AS ax, y1 AS ay,

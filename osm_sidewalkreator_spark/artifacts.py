@@ -25,7 +25,7 @@ def ensure_features(spark: SparkSession, sf_dir: str) -> Path:
     - ``kerbs_xy.parquet``: kerb points + owning crossing
     """
     synth = ensure_synth(sf_dir)
-    marker = synth / "_FEATURES_OK_v2"  # v2: planet-scale fids + A10
+    marker = synth / "_FEATURES_OK_v3"  # v3: crossing quality attrs
     if marker.exists():
         return synth
     feats = PL.generate_features(spark, sf_dir)
@@ -51,6 +51,12 @@ def ensure_features(spark: SparkSession, sf_dir: str) -> Path:
                 "ax", "ay", "bx", "by")
     (esw.repartition(1).write.mode("overwrite")
      .parquet(str(synth / "esw_segments.parquet")))
+    cseg = (feats.filter(F.col("kind") == "crossing")
+            .select("fid", F.posexplode(
+                st_explode_segments("geometry")).alias("seg_idx", "seg"))
+            .select("fid", "seg_idx", "seg.*"))
+    (cseg.repartition(1).write.mode("overwrite")
+     .parquet(str(synth / "crossing_segments.parquet")))
     kerbs = feats.filter(F.col("kind") == "kerb").select(
         "fid", F.col("ref_id").alias("crossing_fid"),
         F.col("cx").alias("x"), F.col("cy").alias("y"))

@@ -291,7 +291,14 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
                         min_seg_len: float = P.MIN_SEG_LEN_FOR_CROSSING,
                         kerb_perc: float = P.KERB_PERC,
                         curve_radius: float = P.DEFAULT_CURVE_RADIUS,
-                        d_to_add: float = P.D_TO_ADD_TO_EACH_SIDE):
+                        d_to_add: float = P.D_TO_ADD_TO_EACH_SIDE,
+                        perc_tol: float = P.PERC_TOL_CROSSINGS,
+                        remove_above_tol: bool = False,
+                        knn_max_dist: float = P.KNN_MAX_DIST,
+                        enlarge: bool = False,
+                        max_iter: int = P.MAX_CROSSINGS_ITERATIONS,
+                        increment_inward: float = P.INCREMENT_INWARD,
+                        abs_max_len: float = P.ABS_MAX_CROSSING_LEN):
     """Crossing 5-point polylines + kerb points at street endpoints.
 
     Mirrors ``generate_crossings_and_kerbs``
@@ -308,8 +315,27 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
     keeps pre-split piece joints (scale tiling) and polyline interior
     vertices from minting spurious crossings.
 
+    Quality attributes (GUI path, osm_sidewalkreator.py:1642-1674):
+    every crossing carries ``ortho_len_dif`` = round(len - (d_to_add +
+    own_width), 3), ``above_tol`` = len > (d_to_add + own_width) *
+    (1 + perc_tol/100), and ``nearest_centerpoint`` = rounded distance
+    to the closest other crossing center within ``knn_max_dist``
+    (:1727-1764; None when no neighbor). ``remove_above_tol`` applies
+    the GUI's optional drop (checkbox default is OFF, matching the
+    headless path that produced the golden fixtures).
+
+    ``enlarge=True`` runs the GUI's bounded resolution loop
+    (osm_sidewalkreator.py:3035-3170) instead of the single-shot ray:
+    per side, a missing sidewalk intersection doubles that side's reach;
+    a crossing longer than the tolerance steps the center inward by
+    ``increment_inward`` (while it stays short of the segment midpoint);
+    longer than ``abs_max_len`` or ``max_iter`` iterations kills the
+    crossing. The headless path (golden fixtures) is the default
+    single-shot.
+
     Returns (crossings, kerbs):
-    - crossings: list of dicts {coords (5,2), length, center (2,)}
+    - crossings: list of dicts {coords (5,2), length, center (2,),
+      ortho_len_dif, above_tol, nearest_centerpoint}
     - kerbs: list of dicts {xy (2,), crossing_index}
     Ids are assigned by the caller (deterministic per-tile ordering).
     """
@@ -372,6 +398,8 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
         return a + t[:, None] * (b - a)
 
     is_p0 = end_i == 0
+    raw_d_interp = mw * 0.5 + curve_radius + d_to_add
+    di_valid = raw_d_interp <= 0.5 * ln   # GUI "curr_distance" usable
     center = np.where(is_p0[:, None], _interp(d_interp),
                       _interp(ln - d_interp))
     sd = np.where(is_p0,
@@ -386,17 +414,25 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
     half_span = mw[sel_ok] * 0.5 + curve_radius + d_to_add + 0.5
     perp = np.column_stack([-dvec[sel_ok, 1], dvec[sel_ok, 0]]) \
         / norm[sel_ok][:, None] * half_span[:, None]
+    a2p, b2p = a[sel_ok], b[sel_ok]
+    d_int = d_interp[sel_ok]
+    di_valid = di_valid[sel_ok]
     seg_i, end_i, ln = seg_i[sel_ok], end_i[sel_ok], ln[sel_ok]
+    w_self = widths[seg_i]
 
     # deterministic order: by (center_x, center_y, seg, end)
     order = np.lexsort((end_i, seg_i,
                         np.round(center[:, 1], 6),
                         np.round(center[:, 0], 6)))
     center, perp, ln = center[order], perp[order], ln[order]
+    w_self, a2p, b2p = w_self[order], a2p[order], b2p[order]
+    d_int, di_valid, end_i = d_int[order], di_valid[order], end_i[order]
 
     # min-seg-len drop (:827)
     keep = ln >= min_seg_len
-    center, perp = center[keep], perp[keep]
+    center, perp, ln = center[keep], perp[keep], ln[keep]
+    w_self, a2p, b2p = w_self[keep], a2p[keep], b2p[keep]
+    d_int, di_valid, end_i = d_int[keep], di_valid[keep], end_i[keep]
     m = len(center)
     if m == 0 or len(sidewalk_segs) == 0:
         return crossings, kerbs
@@ -450,6 +486,14 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
             best_pt[kf // 2, kf % 2] = pts[o2][first]
 
     both = ~np.isnan(best_pt[:, 0, 0]) & ~np.isnan(best_pt[:, 1, 0])
+    if enlarge:
+        # GUI bounded resolution loop replaces unresolved/too-long rays
+        best_pt, center, dead = _gui_enlargement_loop(
+            center, perp, sw, best_pt, a2p, b2p, ln, end_i == 0, d_int,
+            di_valid, (d_to_add + w_self) * (1 + perc_tol / 100.0),
+            max_iter, increment_inward, abs_max_len)
+        both = (~np.isnan(best_pt[:, 0, 0]) & ~np.isnan(best_pt[:, 1, 0])
+                & ~dead)
     sel_r = np.flatnonzero(both)
     if len(sel_r) == 0:
         return crossings, kerbs
@@ -463,13 +507,136 @@ def crossings_and_kerbs(noded_segs: np.ndarray, widths: np.ndarray,
     hyp = np.hypot(dif[:, :, 0], dif[:, :, 1])
     # sequential left-to-right sum matches polyline_length's np.sum order
     length = ((hyp[:, 0] + hyp[:, 1]) + hyp[:, 2]) + hyp[:, 3]
-    for k in range(len(sel_r)):
+
+    # quality attributes (osm_sidewalkreator.py:1660-1676)
+    ortholen = d_to_add + w_self[sel_r]
+    len_dif = np.round(length - ortholen, 3)
+    above = length > ortholen * (1 + perc_tol / 100.0)
+    if remove_above_tol:
+        keep2 = ~above
+        A, E, C, B, D = A[keep2], E[keep2], C[keep2], B[keep2], D[keep2]
+        coords, length = coords[keep2], length[keep2]
+        len_dif, above = len_dif[keep2], above[keep2]
+    k_final = len(coords)
+    # nearest other crossing center within knn_max_dist (:1727-1764)
+    nearest = [None] * k_final
+    if k_final > 1:
+        dx = C[:, 0][:, None] - C[:, 0][None, :]
+        dy = C[:, 1][:, None] - C[:, 1][None, :]
+        dd = np.hypot(dx, dy)
+        np.fill_diagonal(dd, np.inf)
+        d1 = dd.min(axis=1)
+        nearest = [round(float(v), 3) if v <= knn_max_dist else None
+                   for v in d1]
+
+    for k in range(k_final):
         ci_out = len(crossings)
         crossings.append({"coords": coords[k], "length": float(length[k]),
-                          "center": C[k]})
+                          "center": C[k],
+                          "ortho_len_dif": float(len_dif[k]),
+                          "above_tol": bool(above[k]),
+                          "nearest_centerpoint": nearest[k]})
         kerbs.append({"xy": B[k], "crossing_index": ci_out})
         kerbs.append({"xy": D[k], "crossing_index": ci_out})
     return crossings, kerbs
+
+
+def _side_ray_hits(cen: np.ndarray, dvec: np.ndarray, sw: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest-to-origin intersection of rays [cen, cen+dvec] with
+    sidewalk segments. Returns (has (m,), pts (m,2))."""
+    m = len(cen)
+    has = np.zeros(m, dtype=bool)
+    pts_out = np.full((m, 2), np.nan)
+    if m == 0 or len(sw) == 0:
+        return has, pts_out
+    reach = float(np.hypot(dvec[:, 0], dvec[:, 1]).max())
+    boxes = np.column_stack([
+        np.minimum(sw[:, 0], sw[:, 2]) - reach,
+        np.minimum(sw[:, 1], sw[:, 3]) - reach,
+        np.maximum(sw[:, 0], sw[:, 2]) + reach,
+        np.maximum(sw[:, 1], sw[:, 3]) + reach])
+    slen = np.hypot(sw[:, 2] - sw[:, 0], sw[:, 3] - sw[:, 1])
+    sbin = max(reach * 2,
+               float(np.median(slen[slen > 0])) if (slen > 0).any() else 1.0)
+    ci, si = gridhash.join_points_to_boxes(cen[:, 0], cen[:, 1], boxes, sbin)
+    if len(ci) == 0:
+        return has, pts_out
+    a1 = cen[ci]
+    d1 = dvec[ci]
+    a2 = sw[si, :2]
+    d2 = sw[si, 2:] - a2
+    denom = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    okd = np.abs(denom) > 1e-12
+    e = a2 - a1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (e[:, 0] * d2[:, 1] - e[:, 1] * d2[:, 0]) / denom
+        u = (e[:, 0] * d1[:, 1] - e[:, 1] * d1[:, 0]) / denom
+    hit = okd & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    if not hit.any():
+        return has, pts_out
+    hci = ci[hit]
+    hsi = si[hit]
+    tt = t[hit]
+    o2 = np.lexsort((hsi, tt, hci))
+    hci_s = hci[o2]
+    first = np.concatenate([[True], hci_s[1:] != hci_s[:-1]])
+    sel = o2[first]
+    pts = a1[hit][sel] + t[hit][sel][:, None] * d1[hit][sel]
+    has[hci_s[first]] = True
+    pts_out[hci_s[first]] = pts
+    return has, pts_out
+
+
+def _gui_enlargement_loop(center, perp, sw, best_pt, a2p, b2p, ln, is_p0,
+                          d_int, di_valid, max_len, max_iter,
+                          increment_inward, abs_max_len):
+    """GUI crossing resolution (osm_sidewalkreator.py:3035-3170): per
+    side, double the ray reach while that side misses the sidewalks; a
+    too-long crossing steps its center inward while it stays short of
+    the segment midpoint; > ``abs_max_len`` or iteration cap kills it.
+    Vectorized over the active subset each iteration."""
+    m = len(center)
+    center = center.copy()
+    best_pt = np.full((m, 2, 2), np.nan)
+    coefA = np.ones(m)
+    coefE = np.ones(m)
+    cur_d = d_int.copy()
+    resolved = np.zeros(m, dtype=bool)
+    dead = np.zeros(m, dtype=bool)
+    for _ in range(max_iter + 1):
+        act = np.flatnonzero(~resolved & ~dead)
+        if len(act) == 0:
+            break
+        hasA, Apt = _side_ray_hits(center[act],
+                                   -perp[act] * coefA[act][:, None], sw)
+        hasE, Ept = _side_ray_hits(center[act],
+                                   perp[act] * coefE[act][:, None], sw)
+        coefA[act] = np.where(hasA, coefA[act], coefA[act] * 2)
+        coefE[act] = np.where(hasE, coefE[act], coefE[act] * 2)
+        bh = hasA & hasE
+        idx = act[bh]
+        if len(idx):
+            L = np.hypot(Apt[bh, 0] - Ept[bh, 0], Apt[bh, 1] - Ept[bh, 1])
+            kill = L > abs_max_len
+            dead[idx[kill]] = True
+            toolong = ~kill & (L > max_len[idx]) & di_valid[idx]
+            nd = cur_d[idx] + increment_inward
+            can_step = toolong & (nd < ln[idx] / 2)
+            stepi = idx[can_step]
+            if len(stepi):
+                cur_d[stepi] = nd[can_step]
+                t = np.clip(cur_d[stepi] / ln[stepi], 0.0, 1.0)
+                t = np.where(is_p0[stepi], t, 1.0 - t)
+                center[stepi] = a2p[stepi] \
+                    + t[:, None] * (b2p[stepi] - a2p[stepi])
+            accept = ~kill & ~can_step
+            acc = idx[accept]
+            best_pt[acc, 0] = Apt[bh][accept]
+            best_pt[acc, 1] = Ept[bh][accept]
+            resolved[acc] = True
+    dead |= ~resolved
+    return best_pt, center, dead
 
 
 # ---------- linework utilities ----------

@@ -127,6 +127,10 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("ref_id", T.LongType()),       # kerb -> crossing fid
     T.StructField("cx", T.DoubleType()),         # representative point
     T.StructField("cy", T.DoubleType()),
+    # crossing quality attrs (osm_sidewalkreator.py:1660-1676, :1727-1764)
+    T.StructField("ortho_len_dif", T.DoubleType()),
+    T.StructField("above_tol", T.BooleanType()),
+    T.StructField("near_center", T.DoubleType()),
 ])
 
 
@@ -209,8 +213,10 @@ def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
             existing_sw=existing_sw)
         rows = []
 
-        def emit(kind, fid, geom, length, area, ref_id, cx, cy):
-            rows.append((tile, kind, fid, geom, length, area, ref_id, cx, cy))
+        def emit(kind, fid, geom, length, area, ref_id, cx, cy,
+                 ortho_len_dif=None, above_tol=None, near_center=None):
+            rows.append((tile, kind, fid, geom, length, area, ref_id,
+                         cx, cy, ortho_len_dif, above_tol, near_center))
 
         # deterministic planet-scale fids: a 63-bit mix of the FULL tile
         # id and kind, plus the in-tile ordinal. (tile, kind, ordinal) is
@@ -256,7 +262,10 @@ def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
                 continue
             cfid = fid_of(3, i)
             emit("crossing", cfid, wkb.linestring_wkb(c["coords"]),
-                 float(c["length"]), None, None, cx, cy)
+                 float(c["length"]), None, None, cx, cy,
+                 ortho_len_dif=c.get("ortho_len_dif"),
+                 above_tol=c.get("above_tol"),
+                 near_center=c.get("nearest_centerpoint"))
             for j, k2 in kerbs_by_crossing.get(i, ()):
                 emit("kerb", fid_of(4, 2 * i + (j % 2)),
                      wkb.point_wkb(float(k2["xy"][0]),
@@ -348,8 +357,12 @@ def generate_features(spark: SparkSession, sf_dir: str,
     # heavy in COMPUTE, so AQE's size-based partition coalescing would
     # serialize the expensive kernels onto one task. An explicit
     # repartition(n, tile) pins the exchange (AQE leaves user-specified
-    # counts alone) and the cogroup reuses the clustering.
-    n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
+    # counts alone) and the cogroup reuses the clustering. ~4 tasks per
+    # core keeps the heavy-tailed tile costs load-balanced (measured
+    # best at sf0.1); SPARK_GRAFT_NPART pins it for A/B scaling runs.
+    import os
+    n_part = int(os.environ.get("SPARK_GRAFT_NPART", "0")) \
+        or max(spark.sparkContext.defaultParallelism * 4, 32)
     return (tiled.repartition(n_part, "tile").groupBy("tile")
             .cogroup(ctx.repartition(n_part, "tile").groupBy("tile"))
             .applyInPandas(make_tile_kernel(tile_size), FEATURE_SCHEMA))

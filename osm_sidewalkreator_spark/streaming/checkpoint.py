@@ -157,7 +157,8 @@ def run_tiled_job(spark: SparkSession, segs_tiled: DataFrame,
 
     sub = segs_tiled.join(F.broadcast(pend_df), "tile")
     if n_part is None:
-        n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
+        n_part = int(os.environ.get("SPARK_GRAFT_NPART", "0")) \
+            or max(spark.sparkContext.defaultParallelism * 4, 32)
     sub = sub.repartition(n_part, "tile")
     if ctx_tiled is not None:
         summary = (sub.groupBy("tile")

@@ -48,7 +48,9 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_SHUFFLE=os.environ.get(
-                   "SPARK_GRAFT_SHUFFLE", "64"))
+                   "SPARK_GRAFT_SHUFFLE", "64"),
+               SPARK_GRAFT_NPART=os.environ.get(
+                   "SPARK_GRAFT_NPART", "128"))
     for attempt in range(STEAL_RETRY):
         s0, t0 = _cpu_jiffies()
         out = subprocess.run(

@@ -1,4 +1,4 @@
-"""J1 spatial-relation predicates + G9 convex hull."""
+"""J1 spatial-relation predicates + G9 convex hull tests."""
 
 import numpy as np
 import pytest

@@ -285,3 +285,90 @@ def test_protoblock_existing_sidewalk_filter():
         blocks, segs_c, ids_c, lens_c)
     # (420/4)^2/10000*100 = 110.25 > 40 in every touched block
     assert kept2 == []
+
+
+# ---------- crossing quality attributes + GUI enlargement loop ----------
+
+def _city_with_sidewalks(seed=4):
+    rng = np.random.default_rng(seed)
+    segs = _rand_city(rng, n=60, span=200.0)
+    widths = rng.uniform(2.0, 12.0, len(segs))
+    ways = rng.integers(0, 20, len(segs))
+    noded, w, parent = kernels.split_streets(segs, widths)
+    sw = noded + rng.normal(0, 3.0, (len(noded), 4))
+    return noded, w, ways[parent], sw
+
+
+def test_crossing_quality_attributes():
+    noded, w, way_ids, sw = _city_with_sidewalks()
+    crossings, kerbs = kernels.crossings_and_kerbs(noded, w, sw,
+                                                   way_ids=way_ids)
+    assert crossings, "fixture produced no crossings"
+    for c in crossings:
+        # ortho_len_dif and above_tol follow osm_sidewalkreator.py:1660-74
+        assert "ortho_len_dif" in c and "above_tol" in c
+        ortholen = c["length"] - c["ortho_len_dif"]
+        assert c["above_tol"] == (c["length"] > ortholen
+                                  * (1 + P.PERC_TOL_CROSSINGS / 100.0)) \
+            or abs(c["length"] - ortholen
+                   * (1 + P.PERC_TOL_CROSSINGS / 100.0)) < 2e-3
+    # nearest_centerpoint: symmetric-ish sanity via brute force
+    C = np.array([c["center"] for c in crossings])
+    for k, c in enumerate(crossings):
+        d = np.hypot(C[:, 0] - C[k, 0], C[:, 1] - C[k, 1])
+        d[k] = np.inf
+        want = round(float(d.min()), 3) if d.min() <= P.KNN_MAX_DIST \
+            else None
+        assert c["nearest_centerpoint"] == want
+
+
+def test_remove_above_tol_drops_them():
+    noded, w, way_ids, sw = _city_with_sidewalks()
+    base, _ = kernels.crossings_and_kerbs(noded, w, sw, way_ids=way_ids)
+    kept, kerbs = kernels.crossings_and_kerbs(noded, w, sw,
+                                              way_ids=way_ids,
+                                              remove_above_tol=True)
+    n_above = sum(c["above_tol"] for c in base)
+    assert len(kept) == len(base) - n_above
+    assert not any(c["above_tol"] for c in kept)
+    assert len(kerbs) == 2 * len(kept)
+
+
+def test_gui_enlargement_resolves_more_crossings():
+    """Sidewalks form a funnel converging toward the street: at the
+    endpoint the corridor is wider than the single-shot half-span
+    (miss), but the GUI loop (osm_sidewalkreator.py:3035-3170) doubles
+    the reach to find them and steps the center inward until the
+    crossing shortens below tolerance."""
+    # junction at (0,0): horizontal street + vertical cross street
+    noded = np.array([[0, 0, 100, 0], [0, -50, 0, 50]], float)
+    noded, w, parent = kernels.split_streets(noded, np.array([6.0, 6.0]))
+    ways = np.array(["a", "b"])[parent]
+    # funnel: |y| = 15 - x for x in [0, 15] -> corridor 16 m at the
+    # initial center x=7 (half-span 7.5 misses), 8 m at x=11 (below
+    # max_len = (1+6)*1.25 = 8.75)
+    sw = np.array([[0, 15, 15, 0], [0, -15, 15, 0]], float)
+    single, _ = kernels.crossings_and_kerbs(noded, w, sw, way_ids=ways)
+    gui, gk = kernels.crossings_and_kerbs(noded, w, sw, way_ids=ways,
+                                          enlarge=True)
+    assert len(single) == 0
+    assert len(gui) > 0
+    max_len = (P.D_TO_ADD_TO_EACH_SIDE + 6.0) \
+        * (1 + P.PERC_TOL_CROSSINGS / 100.0)
+    for c in gui:
+        assert c["length"] <= max_len + 1e-9   # inward steps converged
+        assert len(c["coords"]) == 5
+        assert not c["above_tol"]
+    assert len(gk) == 2 * len(gui)
+
+
+def test_gui_inward_step_shortens_long_crossings():
+    """A slanted street meets the sidewalk corridor obliquely; stepping
+    the center inward must yield a shorter (or equal) crossing than the
+    single-shot at the same endpoint, never a longer one."""
+    rng = np.random.default_rng(9)
+    noded, w, way_ids, sw = _city_with_sidewalks(9)
+    gui, _ = kernels.crossings_and_kerbs(noded, w, sw, way_ids=way_ids,
+                                         enlarge=True)
+    for c in gui:
+        assert c["length"] <= P.ABS_MAX_CROSSING_LEN
