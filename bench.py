@@ -104,9 +104,11 @@ def main():
     timed("minhash_pairs", lambda: TX.minhash_lsh_pairs(docs, 0.5).count())
     timed("quality_tokens", lambda: TX.quality_score(docs).count())
 
-    # 6. ANN cosine top-k
+    # 6. ANN cosine top-k (brute-force truth + multi-table LSH w/ recall)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("cosine_topk", lambda: SS.cosine_topk_bruteforce(emb).count())
+    timed("cosine_lsh", lambda: SS.cosine_topk_lsh(emb).count())
+    counters["lsh_recall_at_5"] = round(SS.lsh_recall_at_k(emb, k=5), 4)
 
     # 7. relational glue (TPC-H Q1-style)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

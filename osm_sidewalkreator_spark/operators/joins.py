@@ -184,7 +184,14 @@ def pip_join_points_polygons(points: DataFrame, polys: DataFrame,
             cols[c] = pdf[c][inside]
         return pd.DataFrame(cols)
 
-    return cand.groupBy(poly_id).applyInPandas(refine, schema)
+    # salted refine groups: a Zipf-hot polygon's candidates split across
+    # n_salt tasks instead of one straggler (PIP is per-point, so the
+    # split changes nothing semantically; each group re-decodes the
+    # polygon once — bytes per group stay bounded)
+    n_salt = 8
+    cand = cand.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(point_id)), F.lit(n_salt)))
+    return cand.groupBy(poly_id, "_salt").applyInPandas(refine, schema)
 
 
 def dedup_geometries(df: DataFrame, geom_col: str = "geometry",

@@ -50,18 +50,29 @@ def _shingles(col, n: int = 3):
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                        n: int = 3) -> DataFrame:
+                        n: int = 3, max_df: int | None = None) -> DataFrame:
     """Near-duplicate pairs by exact word-3-gram Jaccard >= threshold.
 
     Inverted-index self-join on shingles (selective keys), shared-count
-    aggregation, |A∪B| = |A|+|B|-|A∩B|. Exact — the MinHash variant
-    below is the approximate scale path for when the pair space is too
-    large.
+    aggregation, |A∪B| = |A|+|B|-|A∩B|. Exact when ``max_df`` is None.
+
+    ``max_df``: scale guard — shingles appearing in more than ``max_df``
+    documents are excluded from the INDEX side before the self-join (one
+    ubiquitous shingle otherwise mints a quadratic pair blowup: df=1e6
+    -> 5e11 pairs). Intersection counts for pairs sharing capped
+    shingles undercount by at most (capped shingles in common), so this
+    is a recall-lossy approximation biased against boilerplate — the
+    MinHash variant below is the principled scale path when exactness
+    matters.
     """
     sh = (docs.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
           .filter(F.size("sh") > 0))
     sizes = sh.select("doc_id", F.size("sh").alias("sz"))
     ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        hot = (ex.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("shingle"))
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
