@@ -286,6 +286,29 @@ def q_lineitem_pricing(spark, sf_dir):
                        .cast("long")).alias("sum_disc_c")))
 
 
+def q_clip_aoi_geometry(spark, sf_dir):
+    """P1 true clip: segment geometry CUT at the AOI boundary (not just
+    feature membership — upgrades q_clip_aoi per VERDICT r1 #9). The
+    synthetic AOI contains every street, so the rect is shrunk by an
+    inset that actually cuts the grid; the oracle recomputes the same
+    Liang-Barsky interval with bit-identical float math."""
+    st = PL.load_streets(spark, sf_dir).filter(F.col("n_vertices") == 2) \
+        .select("osm_id", F.col("x1").alias("ax"), F.col("y1").alias("ay"),
+                F.col("x2").alias("bx"), F.col("y2").alias("by"))
+    aoi = _synth(spark, sf_dir, "aoi").select(
+        (F.col("xmin") + 230.0).alias("xmin"),
+        (F.col("ymin") + 230.0).alias("ymin"),
+        (F.col("xmax") - 230.0).alias("xmax"),
+        (F.col("ymax") - 230.0).alias("ymax"))
+    out = PL.clip_segments_to_rect(st, aoi)
+    return out.select(
+        "osm_id",
+        F.round(F.col("ax") * 1000).cast("long").alias("ax_mm"),
+        F.round(F.col("ay") * 1000).cast("long").alias("ay_mm"),
+        F.round(F.col("bx") * 1000).cast("long").alias("bx_mm"),
+        F.round(F.col("by") * 1000).cast("long").alias("by_mm"))
+
+
 def q_alt_kerb_schema(spark, sf_dir):
     """G19 ALT_SCHEMA export split (osm_sidewalkreator.py:3593-3665):
     each crossing -> 2 sidewalk stubs + crossing center + 2 kerbs with the
@@ -559,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_by_location": q_extract_by_location,
         "q_convex_hull": q_convex_hull,
         "q_alt_kerb_schema": q_alt_kerb_schema,
+        "q_clip_aoi_geometry": q_clip_aoi_geometry,
     }
 
 
@@ -799,6 +823,52 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_clip_aoi_geometry": f"""
+            WITH r AS (SELECT xmin + 230.0 AS xmin, ymin + 230.0 AS ymin,
+                              xmax - 230.0 AS xmax, ymax - 230.0 AS ymax
+                       FROM {aoi}),
+                 s AS (SELECT osm_id, x1 AS ax, y1 AS ay,
+                              x2 AS bx, y2 AS by
+                       FROM {streets} WHERE n_vertices = 2),
+                 j AS (SELECT s.*, r.* FROM s CROSS JOIN r),
+                 t AS (SELECT *,
+                   greatest(0.0,
+                     CASE WHEN -(bx-ax) < 0
+                          THEN (ax-xmin)/(-(bx-ax)) ELSE 0.0 END,
+                     CASE WHEN (bx-ax) < 0
+                          THEN (xmax-ax)/(bx-ax) ELSE 0.0 END,
+                     CASE WHEN -(by-ay) < 0
+                          THEN (ay-ymin)/(-(by-ay)) ELSE 0.0 END,
+                     CASE WHEN (by-ay) < 0
+                          THEN (ymax-ay)/(by-ay) ELSE 0.0 END) AS t0,
+                   least(1.0,
+                     CASE WHEN -(bx-ax) > 0
+                          THEN (ax-xmin)/(-(bx-ax)) ELSE 1.0 END,
+                     CASE WHEN (bx-ax) > 0
+                          THEN (xmax-ax)/(bx-ax) ELSE 1.0 END,
+                     CASE WHEN -(by-ay) > 0
+                          THEN (ay-ymin)/(-(by-ay)) ELSE 1.0 END,
+                     CASE WHEN (by-ay) > 0
+                          THEN (ymax-ay)/(by-ay) ELSE 1.0 END) AS t1,
+                   (((bx-ax) = 0 AND ((ax-xmin) < 0 OR (xmax-ax) < 0))
+                    OR ((by-ay) = 0
+                        AND ((ay-ymin) < 0 OR (ymax-ay) < 0))) AS outside
+                   FROM j)
+            SELECT osm_id,
+                   CAST(round((CASE WHEN t0 = 0.0 THEN ax
+                               ELSE ax + t0*(bx-ax) END) * 1000) AS BIGINT)
+                     AS ax_mm,
+                   CAST(round((CASE WHEN t0 = 0.0 THEN ay
+                               ELSE ay + t0*(by-ay) END) * 1000) AS BIGINT)
+                     AS ay_mm,
+                   CAST(round((CASE WHEN t1 = 1.0 THEN bx
+                               ELSE ax + t1*(bx-ax) END) * 1000) AS BIGINT)
+                     AS bx_mm,
+                   CAST(round((CASE WHEN t1 = 1.0 THEN by
+                               ELSE ay + t1*(by-ay) END) * 1000) AS BIGINT)
+                     AS by_mm
+            FROM t WHERE NOT outside AND t0 < t1
         """,
         "q_alt_kerb_schema": f"""
             WITH cs AS (SELECT * FROM read_parquet(

@@ -52,6 +52,8 @@ def main(argv=None):
         PL.clip_to_aoi(PL.load_streets(spark, args.sf_dir),
                        spark, args.sf_dir))
     segs = PL.street_segments_tm(streets)
+    aoi = spark.read.parquet(str(ensure_synth(args.sf_dir) / "aoi.parquet"))
+    segs = PL.clip_segments_to_rect(segs, aoi)
     tiled = segs.withColumn("tile", F.explode(cover_cells(
         F.least("ax", "bx"), F.least("ay", "by"),
         F.greatest("ax", "bx"), F.greatest("ay", "by"),

@@ -63,19 +63,31 @@ def remove_dangles(segs: np.ndarray, attrs: np.ndarray | None = None,
         n = len(cur)
         if n == 0:
             break
-        keep = np.ones(n, dtype=bool)
-        for i in range(n):
-            others = np.delete(np.arange(n), i)
-            if len(others) == 0:
-                keep[i] = False
-                break
-            osegs = cur[others]
-            for ep in (cur[i, :2], cur[i, 2:]):
-                d = core.min_dist_points_to_segs(
-                    np.array([ep[0]]), np.array([ep[1]]), osegs)
-                if d[0] > tol:
-                    keep[i] = False
-                    break
+        if n == 1:
+            # a lone segment has no "other" to touch -> dangle
+            cur, keep_idx = cur[:0], keep_idx[:0]
+            break
+        # Grid-hash candidate join (the reference's R-tree prefilter
+        # analog): endpoints vs tol-expanded segment bboxes, then the
+        # exact pairwise distance — O(n + candidates), no n^2 scan.
+        boxes = np.column_stack([
+            np.minimum(cur[:, 0], cur[:, 2]) - tol,
+            np.minimum(cur[:, 1], cur[:, 3]) - tol,
+            np.maximum(cur[:, 0], cur[:, 2]) + tol,
+            np.maximum(cur[:, 1], cur[:, 3]) + tol])
+        ext = np.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
+        bin_size = max(float(np.median(ext)), tol, 1e-9)
+        px = np.concatenate([cur[:, 0], cur[:, 2]])
+        py = np.concatenate([cur[:, 1], cur[:, 3]])
+        owner = np.tile(np.arange(n, dtype=np.int64), 2)
+        pi, bi = gridhash.join_points_to_boxes(px, py, boxes, bin_size)
+        m = bi != owner[pi]
+        pi, bi = pi[m], bi[m]
+        hit = np.zeros(2 * n, dtype=bool)
+        if len(pi):
+            d = core.point_segment_distance(px[pi], py[pi], cur[bi])
+            hit[pi[d <= tol]] = True
+        keep = hit[:n] & hit[n:]
         if keep.all():
             break
         cur = cur[keep]

@@ -56,6 +56,40 @@ def clip_to_aoi(streets: DataFrame, spark: SparkSession, sf_dir: str
             .drop("xmin", "ymin", "xmax", "ymax"))
 
 
+def clip_segments_to_rect(segs: DataFrame, rect: DataFrame) -> DataFrame:
+    """True AOI clip (P1, ``cliplayer_v2`` generic_functions.py:391-401):
+    cut each segment AT the AOI boundary, not just prefilter features.
+
+    ``rect``: one-row (xmin, ymin, xmax, ymax) broadcast. Liang-Barsky
+    interval in pure column algebra (same formulas as
+    operators/predicates.py); non-intersecting segments drop, partial
+    ones are replaced by their inside piece. Zero-length leftovers
+    (segments that only touch the boundary) are dropped.
+    """
+    from ..operators.predicates import _clip_interval
+    j = segs.crossJoin(F.broadcast(rect.select("xmin", "ymin",
+                                               "xmax", "ymax")))
+    t0, t1, outside = _clip_interval()
+    j = (j.withColumn("_t0", t0).withColumn("_t1", t1)
+          .filter(~outside & (t0 < t1)))
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    # untouched endpoints stay bit-identical (t=0/1 interpolation would
+    # drift by an ULP: ax + 1.0*(bx-ax) != bx in general)
+    t0c, t1c = F.col("_t0"), F.col("_t1")
+    out = j.select(
+        *[c for c in segs.columns if c not in ("ax", "ay", "bx", "by")],
+        F.when(t0c == 0.0, F.col("ax"))
+         .otherwise(F.col("ax") + t0c * dx).alias("ax"),
+        F.when(t0c == 0.0, F.col("ay"))
+         .otherwise(F.col("ay") + t0c * dy).alias("ay"),
+        F.when(t1c == 1.0, F.col("bx"))
+         .otherwise(F.col("ax") + t1c * dx).alias("bx"),
+        F.when(t1c == 1.0, F.col("by"))
+         .otherwise(F.col("ay") + t1c * dy).alias("by"))
+    return out.select(*segs.columns)
+
+
 def assign_widths(streets: DataFrame) -> DataFrame:
     """Width coalesce + class filter (P7/P8).
 
@@ -347,6 +381,10 @@ def generate_features(spark: SparkSession, sf_dir: str,
     streets = clip_to_aoi(streets, spark, sf_dir)
     streets = assign_widths(streets)
     segs = street_segments_tm(streets)
+    # true AOI clip (P1): segments cut AT the AOI rectangle boundary —
+    # the bbox prefilter above prunes whole features, this cuts geometry
+    aoi = spark.read.parquet(str(ensure_synth(sf_dir) / "aoi.parquet"))
+    segs = clip_segments_to_rect(segs, aoi)
     tiled = segs.withColumn(
         "tile", F.explode(cover_cells(
             F.least("ax", "bx"), F.least("ay", "by"),
