@@ -309,6 +309,56 @@ def q_clip_aoi_geometry(spark, sf_dir):
         F.round(F.col("by") * 1000).cast("long").alias("by_mm"))
 
 
+def _streets_as_segs(spark, sf_dir):
+    return (PL.load_streets(spark, sf_dir)
+            .filter(F.col("n_vertices") == 2)
+            .select("osm_id",
+                    F.col("x1").alias("ax"), F.col("y1").alias("ay"),
+                    F.col("x2").alias("bx"), F.col("y2").alias("by")))
+
+
+def _mm(col, name):
+    return F.round(F.col(col) * 1000).cast("long").alias(name)
+
+
+def q_overlay_intersection(spark, sf_dir):
+    """J2 generic ``native:intersection`` overlay
+    (generic_functions.py:124-132): streets x protoblock rects, one row
+    per truly-overlapping pair, geometry cut to the overlap, both sides'
+    ids carried."""
+    from osm_sidewalkreator_spark.operators import overlay as OV
+    st = _streets_as_segs(spark, sf_dir)
+    blocks = _synth(spark, sf_dir, "blocks").select(
+        "block_id", "xmin", "ymin", "xmax", "ymax")
+    out = OV.intersection_overlay(st, blocks)
+    return out.select("osm_id", "block_id",
+                      _mm("px_a", "ax_mm"), _mm("py_a", "ay_mm"),
+                      _mm("px_b", "bx_mm"), _mm("py_b", "by_mm"))
+
+
+def q_overlay_difference(spark, sf_dir):
+    """J3 generic ``native:difference`` overlay
+    (generic_functions.py:135-143): each street minus the UNION of all
+    overlapping protoblock rects (interval merge, one shuffle);
+    untouched streets pass through whole."""
+    from osm_sidewalkreator_spark.operators import overlay as OV
+    st = _streets_as_segs(spark, sf_dir)
+    # outset a SPARSE subset of rects: streets run along block
+    # boundaries, so +7 m makes them cross block interiors, and keeping
+    # every 3rd block leaves uncovered stretches -> real gap pieces
+    blocks = _synth(spark, sf_dir, "blocks") \
+        .filter(F.col("block_id") % 3 == 0).select(
+            "block_id",
+            (F.col("xmin") - 7.0).alias("xmin"),
+            (F.col("ymin") - 7.0).alias("ymin"),
+            (F.col("xmax") + 7.0).alias("xmax"),
+            (F.col("ymax") + 7.0).alias("ymax"))
+    out = OV.difference_overlay(st, blocks)
+    return out.select("osm_id",
+                      _mm("px_a", "ax_mm"), _mm("py_a", "ay_mm"),
+                      _mm("px_b", "bx_mm"), _mm("py_b", "by_mm"))
+
+
 def q_alt_kerb_schema(spark, sf_dir):
     """G19 ALT_SCHEMA export split (osm_sidewalkreator.py:3593-3665):
     each crossing -> 2 sidewalk stubs + crossing center + 2 kerbs with the
@@ -583,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_convex_hull": q_convex_hull,
         "q_alt_kerb_schema": q_alt_kerb_schema,
         "q_clip_aoi_geometry": q_clip_aoi_geometry,
+        "q_overlay_intersection": q_overlay_intersection,
+        "q_overlay_difference": q_overlay_difference,
     }
 
 
@@ -625,6 +677,34 @@ _JACCARD_SQL = """
     SELECT id_a, id_b, round(inter / (sz_a + sz_b - inter), 9) AS jaccard
     FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.5
 """
+
+# Liang-Barsky clip interval over (ax,ay,bx,by,xmin,ymin,xmax,ymax) —
+# bit-identical to operators/predicates._clip_interval (same q/p
+# divisions folded with greatest/least in the same order).
+_LB_T0 = """greatest(0.0,
+    CASE WHEN -(bx-ax) < 0 THEN (ax-xmin)/(-(bx-ax)) ELSE 0.0 END,
+    CASE WHEN (bx-ax) < 0 THEN (xmax-ax)/(bx-ax) ELSE 0.0 END,
+    CASE WHEN -(by-ay) < 0 THEN (ay-ymin)/(-(by-ay)) ELSE 0.0 END,
+    CASE WHEN (by-ay) < 0 THEN (ymax-ay)/(by-ay) ELSE 0.0 END)"""
+_LB_T1 = """least(1.0,
+    CASE WHEN -(bx-ax) > 0 THEN (ax-xmin)/(-(bx-ax)) ELSE 1.0 END,
+    CASE WHEN (bx-ax) > 0 THEN (xmax-ax)/(bx-ax) ELSE 1.0 END,
+    CASE WHEN -(by-ay) > 0 THEN (ay-ymin)/(-(by-ay)) ELSE 1.0 END,
+    CASE WHEN (by-ay) > 0 THEN (ymax-ay)/(by-ay) ELSE 1.0 END)"""
+_LB_OUT = """(((bx-ax) = 0 AND ((ax-xmin) < 0 OR (xmax-ax) < 0))
+    OR ((by-ay) = 0 AND ((ay-ymin) < 0 OR (ymax-ay) < 0)))"""
+# mm-rounded clipped endpoints of the [t0, t1] piece (t=0/1 keep the
+# original coordinate bit-identically, matching overlay._piece_coords)
+_LB_PIECE_MM = """
+    CAST(round((CASE WHEN t0 = 0.0 THEN ax
+                ELSE ax + t0*(bx-ax) END) * 1000) AS BIGINT) AS ax_mm,
+    CAST(round((CASE WHEN t0 = 0.0 THEN ay
+                ELSE ay + t0*(by-ay) END) * 1000) AS BIGINT) AS ay_mm,
+    CAST(round((CASE WHEN t1 = 1.0 THEN bx
+                ELSE ax + t1*(bx-ax) END) * 1000) AS BIGINT) AS bx_mm,
+    CAST(round((CASE WHEN t1 = 1.0 THEN by
+                ELSE ay + t1*(by-ay) END) * 1000) AS BIGINT) AS by_mm"""
+
 
 def oracle_sql() -> dict[str, str]:
     streets = f"read_parquet('{SP}/streets.parquet')"
@@ -869,6 +949,68 @@ def oracle_sql() -> dict[str, str]:
                                ELSE ay + t1*(by-ay) END) * 1000) AS BIGINT)
                      AS by_mm
             FROM t WHERE NOT outside AND t0 < t1
+        """,
+        "q_overlay_intersection": f"""
+            WITH s AS (SELECT osm_id, x1 AS ax, y1 AS ay, x2 AS bx,
+                              y2 AS by
+                       FROM {streets} WHERE n_vertices = 2),
+                 j AS (SELECT s.*, r.block_id, r.xmin, r.ymin, r.xmax,
+                              r.ymax
+                       FROM s CROSS JOIN {blocks} r),
+                 t AS (SELECT *, {_LB_T0} AS t0, {_LB_T1} AS t1,
+                              {_LB_OUT} AS outside
+                       FROM j)
+            SELECT osm_id, block_id, {_LB_PIECE_MM}
+            FROM t WHERE NOT outside AND t0 < t1
+        """,
+        "q_overlay_difference": f"""
+            WITH r AS (SELECT block_id, xmin - 7.0 AS xmin,
+                              ymin - 7.0 AS ymin, xmax + 7.0 AS xmax,
+                              ymax + 7.0 AS ymax FROM {blocks}
+                       WHERE block_id % 3 = 0),
+                 s AS (SELECT osm_id, x1 AS ax, y1 AS ay, x2 AS bx,
+                              y2 AS by
+                       FROM {streets} WHERE n_vertices = 2),
+                 j AS (SELECT s.*, r.* FROM s CROSS JOIN r),
+                 t AS (SELECT *, {_LB_T0} AS t0, {_LB_T1} AS t1,
+                              {_LB_OUT} AS outside
+                       FROM j),
+                 c AS (SELECT osm_id, ax, ay, bx, by, t0, t1
+                       FROM t WHERE NOT outside AND t0 < t1),
+                 g AS (SELECT *, CASE WHEN t0 > coalesce(
+                         max(t1) OVER (PARTITION BY osm_id
+                           ORDER BY t0, t1
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), -1.0)
+                         THEN 1 ELSE 0 END AS new_isl
+                       FROM c),
+                 i AS (SELECT *, sum(new_isl) OVER (PARTITION BY osm_id
+                         ORDER BY t0, t1
+                         ROWS UNBOUNDED PRECEDING) AS isl
+                       FROM g),
+                 m AS (SELECT osm_id, isl, any_value(ax) AS ax,
+                              any_value(ay) AS ay, any_value(bx) AS bx,
+                              any_value(by) AS by,
+                              min(t0) AS mt0, max(t1) AS mt1
+                       FROM i GROUP BY osm_id, isl),
+                 gaps AS (
+                   SELECT osm_id, ax, ay, bx, by,
+                          coalesce(lag(mt1) OVER (PARTITION BY osm_id
+                            ORDER BY mt0), 0.0) AS t0,
+                          mt0 AS t1
+                   FROM m
+                   UNION ALL
+                   SELECT osm_id, any_value(ax), any_value(ay),
+                          any_value(bx), any_value(by),
+                          max(mt1) AS t0, 1.0 AS t1
+                   FROM m GROUP BY osm_id
+                   UNION ALL
+                   SELECT osm_id, x1, y1, x2, y2, 0.0, 1.0
+                   FROM {streets} st
+                   WHERE n_vertices = 2 AND NOT EXISTS
+                     (SELECT 1 FROM c WHERE c.osm_id = st.osm_id))
+            SELECT osm_id, {_LB_PIECE_MM}
+            FROM gaps WHERE t0 < t1
         """,
         "q_alt_kerb_schema": f"""
             WITH cs AS (SELECT * FROM read_parquet(
