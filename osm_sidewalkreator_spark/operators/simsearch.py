@@ -60,6 +60,33 @@ def _hyperplane_sign(v, plane_seed: int, dim: int):
                         F.lit(0.0), lambda a, b: a + b) > 0).cast("int")
 
 
+_WEIGHTS_CACHE: dict = {}
+
+
+def _plane_weight_matrix(spark, n_seeds: int, dim: int) -> list:
+    """All hyperplane weight rows [seed 0..n_seeds) evaluated ONCE with
+    the exact `_hyperplane_sign` hash formula (bucket parity with the
+    per-row expression), returned as plain floats for a single 2-D array
+    literal. Keeping 60 aggregate-expression trees in the plan made
+    Catalyst re-analyze seconds' worth of nodes at every downstream
+    join; one Literal node costs nothing."""
+    key = (n_seeds, dim)
+    if key not in _WEIGHTS_CACHE:
+        # one nested-transform column (60 separate transform columns
+        # took ~10 s of analysis/codegen for a single row); the seed
+        # element is an int like F.lit(seed), so xxhash64 values match
+        # `_hyperplane_sign` exactly
+        m = F.transform(
+            F.sequence(F.lit(0), F.lit(n_seeds - 1)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (F.pmod(F.xxhash64(s, i), F.lit(2001))
+                           .cast("double") - F.lit(1000.0))))
+        row = spark.range(1).select(m.alias("m")).collect()[0]
+        _WEIGHTS_CACHE[key] = [list(w) for w in row.m]
+    return _WEIGHTS_CACHE[key]
+
+
 def cosine_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50,
                     n_planes: int = 6, n_tables: int = 10,
                     dim: int = 64, max_bucket: int = 4096) -> DataFrame:
@@ -83,25 +110,33 @@ def cosine_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50,
     """
     e = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
-    buckets = []
-    for t in range(n_tables):
-        sig = None
-        for p in range(n_planes):
-            s = _hyperplane_sign(F.col("v"), t * n_planes + p, dim)
-            sig = s if sig is None else sig * 2 + s
-        buckets.append(sig)
-    banded = e.select("vec_id", F.posexplode(F.array(*buckets))
-                      .alias("tbl", "bucket"))
-    # per-table hot-bucket cap
-    sizes = banded.groupBy("tbl", "bucket").agg(F.count("*").alias("bn"))
-    banded = (banded.join(F.broadcast(
-        sizes.filter(F.col("bn") > max_bucket)), ["tbl", "bucket"],
-        "left_anti"))
-    qb = banded.join(
-        emb.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0)
-        .select(F.col("vec_id").alias("query_id")),
-        banded.vec_id == F.col("query_id")).select(
-            "query_id", "tbl", "bucket")
+    W = _plane_weight_matrix(emb.sparkSession, n_tables * n_planes, dim)
+    # one pass: all n_tables*n_planes signs from a single 2-D literal,
+    # then fold each table's n_planes bits into its bucket id. `sigs`
+    # is materialized as a projected column first so the bucket fold
+    # reads it instead of inlining the whole sign computation per table
+    # (a computed array referenced inside a lambda re-evaluates per
+    # element).
+    sigs = F.transform(F.lit(W), lambda wrow: (F.aggregate(
+        F.zip_with(F.col("v"), wrow, lambda x, y: x * y),
+        F.lit(0.0), lambda a, b: a + b) > 0).cast("int"))
+    withsig = e.select("vec_id", sigs.alias("_sigs"))
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.slice(F.col("_sigs"), t * n_planes + 1, n_planes),
+            F.lit(0), lambda a, b: a * 2 + b))
+    banded = withsig.select("vec_id", F.posexplode(buckets)
+                            .alias("tbl", "bucket"))
+    # per-table hot-bucket cap as a window over the SAME (tbl, bucket)
+    # partitioning the candidate join needs: the filter preserves the
+    # exchange, so cap + join cost one shuffle and the two join sides
+    # reuse it (vs the round-1 agg + broadcast-anti extra stages)
+    wb = Window.partitionBy("tbl", "bucket")
+    banded = (banded.withColumn("_bn", F.count("*").over(wb))
+              .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    qb = (banded.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0)
+          .select(F.col("vec_id").alias("query_id"), "tbl", "bucket"))
     cand = (qb.join(banded, ["tbl", "bucket"])
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id").distinct())
