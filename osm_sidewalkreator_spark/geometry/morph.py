@@ -179,9 +179,15 @@ class ConvexSet:
             return z, z, np.empty(0), np.empty((0, 2))
         vx, vy = self.polys[si, :, 0], self.polys[si, :, 1]
         ex, ey, el = self._ex[si], self._ey[si], self._el[si]
-        qx = px[pi][:, None] - vx
-        qy = py[pi][:, None] - vy
-        d = (ex * qy - ey * qx) / el            # signed dist to edge lines
+        # signed dist to edge lines, reusing the gather buffers as
+        # scratch: these (pairs x nverts) temporaries dominate the
+        # kernel's allocation traffic, which is what caps multi-core
+        # scaling (page-fault churn), so compute in place
+        qx = np.subtract(px[pi][:, None], vx, out=vx)
+        qy = np.subtract(py[pi][:, None], vy, out=vy)
+        d = np.multiply(ex, qy, out=qy)
+        d -= np.multiply(ey, qx, out=qx)
+        d /= el
         if self._degen.any():
             d = np.where(self._degen[si], np.inf, d)
         k = np.argmin(d, axis=1)

@@ -139,21 +139,21 @@ def node_segments(segs: np.ndarray, snap: float = SNAP
         coll = parallel & (np.abs(ex * d1y - ey * d1x) <= 1e-9 * np.maximum(scale, snap))
         if coll.any():
             ci, cj = i[coll], j[coll]
-            for (si, sj) in zip(ci, cj):
-                for (qx, qy) in ((segs[sj, 0], segs[sj, 1]), (segs[sj, 2], segs[sj, 3])):
-                    li = lens[si]
-                    tt = ((qx - segs[si, 0]) * (segs[si, 2] - segs[si, 0])
-                          + (qy - segs[si, 1]) * (segs[si, 3] - segs[si, 1])) / (li * li)
-                    if 0 < tt < 1:
-                        acc_seg.append(np.array([si]))
-                        acc_pts.append(np.array([[qx, qy]]))
-                for (qx, qy) in ((segs[si, 0], segs[si, 1]), (segs[si, 2], segs[si, 3])):
-                    lj = lens[sj]
-                    tt = ((qx - segs[sj, 0]) * (segs[sj, 2] - segs[sj, 0])
-                          + (qy - segs[sj, 1]) * (segs[sj, 3] - segs[sj, 1])) / (lj * lj)
-                    if 0 < tt < 1:
-                        acc_seg.append(np.array([sj]))
-                        acc_pts.append(np.array([[qx, qy]]))
+            # project each pair-mate's endpoints onto the other segment
+            # (vectorized over all collinear pairs x 2 endpoints)
+            for src, dst in ((ci, cj), (cj, ci)):
+                sdx = segs[src, 2] - segs[src, 0]
+                sdy = segs[src, 3] - segs[src, 1]
+                ll = lens[src] * lens[src]
+                for ep in (0, 1):
+                    qx = segs[dst, 2 * ep]
+                    qy = segs[dst, 2 * ep + 1]
+                    tt = ((qx - segs[src, 0]) * sdx
+                          + (qy - segs[src, 1]) * sdy) / ll
+                    m = (tt > 0) & (tt < 1)
+                    if m.any():
+                        acc_seg.append(src[m])
+                        acc_pts.append(np.column_stack([qx[m], qy[m]]))
 
     if acc_seg:
         all_seg = np.concatenate(acc_seg)
