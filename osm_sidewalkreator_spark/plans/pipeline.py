@@ -192,6 +192,75 @@ def _owns(x: float, y: float, b) -> bool:
     return b[0] <= x < b[2] and b[1] <= y < b[3]
 
 
+def make_bucket_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
+    """Cogrouped kernel over a cost-balanced BUCKET of tiles: runs the
+    per-tile kernel for each tile sub-group. Used by the LPT placement
+    in ``generate_features`` (the per-tile Python loop is over ~4-5
+    tiles, negligible next to the kernels themselves)."""
+    tk = make_tile_kernel(tile_size, halo)
+    empty = pd.DataFrame()
+
+    def kernel(key, pdf: pd.DataFrame, ctx: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        cgs = (dict(tuple(ctx.groupby("tile")))
+               if ctx is not None and len(ctx) else {})
+        for t, g in pdf.groupby("tile"):
+            outs.append(tk((t,), g, cgs.get(t, empty)))
+        if not outs:
+            return pd.DataFrame(columns=[f.name for f in FEATURE_SCHEMA])
+        return pd.concat(outs, ignore_index=True)
+
+    return kernel
+
+
+def _hash_aligned_bucket_ids(spark: SparkSession, n_part: int) -> list:
+    """One int id per partition p with pmod(murmur3(id), n_part) == p.
+
+    ``repartition(n, col)`` places rows by the hash of the column, so
+    arbitrary bucket numbers 0..n-1 would collide into ~63% of the
+    partitions (Poisson) and wreck a balanced assignment. Evaluating
+    Spark's own hash over a small id range (one tiny job) yields ids
+    that map bijectively onto partitions."""
+    rows = spark.range(0, 64 * n_part).select(
+        F.col("id").cast("int").alias("b"),
+        F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_part)).alias("p")
+    ).collect()
+    m: dict = {}
+    for r in rows:
+        if r.p not in m:
+            m[r.p] = r.b
+    if len(m) < n_part:     # astronomically unlikely at 64x oversample
+        raise RuntimeError(f"hash alignment found {len(m)}/{n_part}")
+    return [m[p] for p in range(n_part)]
+
+
+# above this many tiles the per-tile cost census is no longer a
+# driver-sized collect; fall back to plain hash placement
+_LPT_MAX_TILES = 200_000
+
+
+def _lpt_bucket_map(spark: SparkSession, tiled: DataFrame, n_part: int
+                    ) -> list | None:
+    """Greedy longest-processing-time assignment of tiles to hash-
+    aligned buckets by per-tile segment count (+ a fixed per-tile
+    overhead). Returns [(tile, bucket_id)], or None when the tile
+    census exceeds the driver-collect cap."""
+    import heapq
+    costs = tiled.groupBy("tile").agg(F.count(F.lit(1)).alias("n"))
+    rows = costs.limit(_LPT_MAX_TILES + 1).collect()
+    if len(rows) > _LPT_MAX_TILES:
+        return None
+    ids = _hash_aligned_bucket_ids(spark, n_part)
+    heap = [(0, p) for p in range(n_part)]
+    heapq.heapify(heap)
+    mapping = []
+    for r in sorted(rows, key=lambda r: (-r.n, r.tile)):
+        load, p = heapq.heappop(heap)
+        mapping.append((r.tile, ids[p]))
+        heapq.heappush(heap, (load + r.n + 20, p))
+    return mapping
+
+
 def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
     """Cogrouped applyInPandas kernel: run the per-tile geometry pipeline
     (streets cogrouped with building-segment/POI context) and emit
@@ -401,9 +470,28 @@ def generate_features(spark: SparkSession, sf_dir: str,
     import os
     n_part = int(os.environ.get("SPARK_GRAFT_NPART", "0")) \
         or max(spark.sparkContext.defaultParallelism * 4, 32)
-    return (tiled.repartition(n_part, "tile").groupBy("tile")
-            .cogroup(ctx.repartition(n_part, "tile").groupBy("tile"))
-            .applyInPandas(make_tile_kernel(tile_size), FEATURE_SCHEMA))
+    # Cost-balanced placement: hash placement of ~uniform tiles is
+    # Poisson per partition (max ~2.5x mean at 4 tiles/partition), and
+    # that straggler factor IS the measured scaling residual. LPT over
+    # the per-tile segment census into hash-aligned buckets makes every
+    # partition carry a near-equal load. Costs one cheap count pass.
+    mapping = _lpt_bucket_map(spark, tiled, n_part)
+    if mapping is None:     # planet-sized tile census: hash placement
+        return (tiled.repartition(n_part, "tile").groupBy("tile")
+                .cogroup(ctx.repartition(n_part, "tile").groupBy("tile"))
+                .applyInPandas(make_tile_kernel(tile_size),
+                               FEATURE_SCHEMA))
+    # two separate map DFs: joining the same DF on both cogroup sides
+    # trips the ambiguous-self-join check
+    schema = "tile long, _bucket int"
+    tiled = tiled.join(
+        F.broadcast(spark.createDataFrame(mapping, schema)), "tile")
+    ctx = ctx.join(
+        F.broadcast(spark.createDataFrame(mapping, schema)), "tile")
+    return (tiled.repartition(n_part, "_bucket").groupBy("_bucket")
+            .cogroup(ctx.repartition(n_part, "_bucket")
+                     .groupBy("_bucket"))
+            .applyInPandas(make_bucket_kernel(tile_size), FEATURE_SCHEMA))
 
 
 def features_4326(features: DataFrame) -> DataFrame:
