@@ -309,6 +309,17 @@ def q_clip_aoi_geometry(spark, sf_dir):
         F.round(F.col("by") * 1000).cast("long").alias("by_mm"))
 
 
+def q_incidence_ids(spark, sf_dir):
+    """J8 id-list incidence variant (generic_functions.py:1408-1465
+    default mode, sidewalk ids per protoblock at
+    osm_sidewalkreator.py:988): sorted incident way-id string per
+    block."""
+    synth = ensure_features(spark, sf_dir)
+    blocks = _synth(spark, sf_dir, "blocks")
+    esw = spark.read.parquet(str(synth / "esw_segments.parquet"))
+    return J.incidence_ids_join(blocks, esw, cell_size=P.CELL_SIZE_M)
+
+
 def _streets_as_segs(spark, sf_dir):
     return (PL.load_streets(spark, sf_dir)
             .filter(F.col("n_vertices") == 2)
@@ -635,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clip_aoi_geometry": q_clip_aoi_geometry,
         "q_overlay_intersection": q_overlay_intersection,
         "q_overlay_difference": q_overlay_difference,
+        "q_incidence_ids": q_incidence_ids,
     }
 
 
@@ -1099,6 +1111,34 @@ def oracle_sql() -> dict[str, str]:
                    (int_int AND has_ext) AS crosses,
                    (inter AND NOT int_int) AS touches
             FROM g WHERE inter
+        """,
+        "q_incidence_ids": f"""
+            WITH s AS (SELECT * FROM
+                       read_parquet('{SP}/esw_segments.parquet/*.parquet')),
+                 b AS (SELECT * FROM {blocks}),
+                 cand AS (
+                   SELECT b.block_id, s.way_id,
+                          (s.bx - s.ax) * (ymin - s.ay)
+                            - (s.by - s.ay) * (xmin - s.ax) AS s1,
+                          (s.bx - s.ax) * (ymin - s.ay)
+                            - (s.by - s.ay) * (xmax - s.ax) AS s2,
+                          (s.bx - s.ax) * (ymax - s.ay)
+                            - (s.by - s.ay) * (xmax - s.ax) AS s3,
+                          (s.bx - s.ax) * (ymax - s.ay)
+                            - (s.by - s.ay) * (xmin - s.ax) AS s4
+                   FROM b JOIN s
+                     ON greatest(s.ax, s.bx) >= b.xmin
+                    AND least(s.ax, s.bx) <= b.xmax
+                    AND greatest(s.ay, s.by) >= b.ymin
+                    AND least(s.ay, s.by) <= b.ymax),
+                 hit AS (
+                   SELECT DISTINCT block_id, way_id FROM cand
+                   WHERE NOT (s1 > 0 AND s2 > 0 AND s3 > 0 AND s4 > 0)
+                     AND NOT (s1 < 0 AND s2 < 0 AND s3 < 0 AND s4 < 0))
+            SELECT block_id,
+                   string_agg(way_id, ' ' ORDER BY way_id) AS inc_ids,
+                   count(*) AS n_inc
+            FROM hit GROUP BY block_id
         """,
         "q_protoblock_sidewalk_filter": f"""
             WITH s AS (SELECT * FROM

@@ -131,6 +131,47 @@ def incidence_length_join(rects: DataFrame, segments: DataFrame,
             .agg(F.sum("way_len").alias("inc_len")))
 
 
+def incidence_ids_join(rects: DataFrame, segments: DataFrame,
+                       cell_size: float = 128.0) -> DataFrame:
+    """J8 id-list incidence (``create_incidence_field_layers_A_B``
+    default mode, generic_functions.py:1408-1465 — writes the incident
+    feature ids as a space-joined string field, used for sidewalk ids
+    per protoblock at osm_sidewalkreator.py:988).
+
+    Same candidate join and exact separating-axis predicate as
+    ``incidence_length_join``; emits per rect the sorted distinct
+    incident way ids as ``"id1 id2 ..."`` plus their count."""
+    r = rects.withColumn("cell", F.explode(cover_cells(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        cell_size)))
+    s = segments.withColumn("cell", F.explode(cover_cells(
+        F.least("ax", "bx"), F.least("ay", "by"),
+        F.greatest("ax", "bx"), F.greatest("ay", "by"), cell_size)))
+    j = r.join(s, "cell")
+    bbox_ok = ((F.greatest("ax", "bx") >= F.col("xmin"))
+               & (F.least("ax", "bx") <= F.col("xmax"))
+               & (F.greatest("ay", "by") >= F.col("ymin"))
+               & (F.least("ay", "by") <= F.col("ymax")))
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+
+    def side(cx, cy):
+        return dx * (cy - F.col("ay")) - dy * (cx - F.col("ax"))
+
+    s1 = side(F.col("xmin"), F.col("ymin"))
+    s2 = side(F.col("xmax"), F.col("ymin"))
+    s3 = side(F.col("xmax"), F.col("ymax"))
+    s4 = side(F.col("xmin"), F.col("ymax"))
+    not_separated = ~((s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)) \
+        & ~((s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0))
+    return (j.filter(bbox_ok & not_separated)
+            .groupBy("block_id")
+            .agg(F.array_sort(F.collect_set("way_id")).alias("_ids"))
+            .select("block_id",
+                    F.array_join("_ids", " ").alias("inc_ids"),
+                    F.size("_ids").alias("n_inc")))
+
+
 def pip_join_points_polygons(points: DataFrame, polys: DataFrame,
                              cell_size: float = 128.0,
                              point_id: str = "url",
