@@ -475,7 +475,13 @@ def generate_features(spark: SparkSession, sf_dir: str,
     # that straggler factor IS the measured scaling residual. LPT over
     # the per-tile segment census into hash-aligned buckets makes every
     # partition carry a near-equal load. Costs one cheap count pass.
-    mapping = _lpt_bucket_map(spark, tiled, n_part)
+    use_lpt = os.environ.get("SPARK_GRAFT_LPT", "1") != "0"
+    if use_lpt:
+        # census + kernel input share one computation of the clipped/
+        # exploded segments (the census would otherwise re-run the
+        # whole upstream scan+clip+explode as a second pass)
+        tiled = tiled.persist()
+    mapping = _lpt_bucket_map(spark, tiled, n_part) if use_lpt else None
     if mapping is None:     # planet-sized tile census: hash placement
         return (tiled.repartition(n_part, "tile").groupBy("tile")
                 .cogroup(ctx.repartition(n_part, "tile").groupBy("tile"))
