@@ -309,6 +309,16 @@ def q_clip_aoi_geometry(spark, sf_dir):
         F.round(F.col("by") * 1000).cast("long").alias("by_mm"))
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup (keep-first rule): survivors
+    after dropping every vector with a cosine>=0.35 duplicate of
+    smaller vec_id. Exact all-pairs variant (oracle shape); the LSH
+    candidate variant is the scale path (use_lsh=True)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SS.embedding_neardup_dedup(emb, threshold=0.35) \
+        .select("vec_id", "label")
+
+
 def q_incidence_ids(spark, sf_dir):
     """J8 id-list incidence variant (generic_functions.py:1408-1465
     default mode, sidewalk ids per protoblock at
@@ -647,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlay_intersection": q_overlay_intersection,
         "q_overlay_difference": q_overlay_difference,
         "q_incidence_ids": q_incidence_ids,
+        "q_embedding_dedup": q_embedding_dedup,
     }
 
 
@@ -1111,6 +1122,19 @@ def oracle_sql() -> dict[str, str]:
                    (int_int AND has_ext) AS crosses,
                    (inter AND NOT int_int) AS touches
             FROM g WHERE inter
+        """,
+        "q_embedding_dedup": """
+            WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id, a.label
+            FROM e a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e b
+              WHERE b.vec_id < a.vec_id
+                AND round(list_dot_product(b.v, a.v)
+                      / (sqrt(list_dot_product(b.v, b.v))
+                       * sqrt(list_dot_product(a.v, a.v))), 9) >= 0.35)
         """,
         "q_incidence_ids": f"""
             WITH s AS (SELECT * FROM

@@ -162,3 +162,59 @@ def lsh_recall_at_k(emb: DataFrame, k: int = 5, query_mod: int = 50,
     hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
     n_truth = truth.count()
     return (hit.count() / n_truth) if n_truth else 1.0
+
+
+def embedding_neardup_dedup(emb: DataFrame, threshold: float = 0.35,
+                            use_lsh: bool = False,
+                            n_planes: int = 6, n_tables: int = 10,
+                            dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: drop every vector that
+    has a near-duplicate (cosine >= threshold) with a SMALLER vec_id —
+    the deterministic keep-first rule of web-corpus dedup pipelines.
+
+    use_lsh=False is the exact all-pairs baseline (the correctness
+    oracle shape; block-nested-loop at scale). use_lsh=True draws
+    candidate pairs from the multi-table hyperplane buckets of
+    ``cosine_topk_lsh`` — the 100 TB path: pair count is bounded per
+    bucket instead of N^2, at the cost of LSH recall (a missed pair
+    keeps a duplicate, never drops a non-duplicate).
+
+    Cosine is rounded to 9 decimals before the threshold compare so an
+    independent evaluator ranks borderline pairs identically.
+    """
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    if use_lsh:
+        W = _plane_weight_matrix(emb.sparkSession, n_tables * n_planes,
+                                 dim)
+        sigs = F.transform(F.lit(W), lambda wrow: (F.aggregate(
+            F.zip_with(F.col("v"), wrow, lambda x, y: x * y),
+            F.lit(0.0), lambda a, b: a + b) > 0).cast("int"))
+        withsig = e.select("vec_id", sigs.alias("_sigs"))
+        buckets = F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.aggregate(
+                F.slice(F.col("_sigs"), t * n_planes + 1, n_planes),
+                F.lit(0), lambda a, b: a * 2 + b))
+        banded = withsig.select("vec_id", F.posexplode(buckets)
+                                .alias("tbl", "bucket"))
+        a = banded.select(F.col("vec_id").alias("ia"), "tbl", "bucket")
+        b = banded.select(F.col("vec_id").alias("ib"), "tbl", "bucket")
+        cand = (a.join(b, ["tbl", "bucket"])
+                .filter(F.col("ia") < F.col("ib"))
+                .select("ia", "ib").distinct())
+    else:
+        a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+        b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+        cand = a.crossJoin(b).filter(F.col("ia") < F.col("ib")) \
+            .select("ia", "ib")
+    pairs = (cand
+             .join(e.select(F.col("vec_id").alias("ia"),
+                            F.col("v").alias("va")), "ia")
+             .join(e.select(F.col("vec_id").alias("ib"),
+                            F.col("v").alias("vb")), "ib"))
+    sim = _dot(F.col("va"), F.col("vb")) \
+        / (_norm(F.col("va")) * _norm(F.col("vb")))
+    dups = (pairs.filter(F.round(sim, 9) >= threshold)
+            .select(F.col("ib").alias("vec_id")).distinct())
+    return emb.join(dups, "vec_id", "left_anti")

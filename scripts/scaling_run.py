@@ -30,8 +30,9 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-STEAL_RETRY = 3
+STEAL_RETRY = int(os.environ.get("SPARK_GRAFT_STEAL_RETRY", "6"))
 STEAL_MAX_PCT = 2.0
+QUIET_WAIT_MIN = 20  # minutes to poll for a quiet window before a leg
 
 
 def _cpu_jiffies() -> tuple[int, int]:
@@ -40,6 +41,21 @@ def _cpu_jiffies() -> tuple[int, int]:
     vals = [int(x) for x in f[1:]]
     steal = vals[7] if len(vals) > 7 else 0
     return steal, sum(vals)
+
+
+def _wait_quiet() -> None:
+    """Poll up to QUIET_WAIT_MIN minutes for a 30 s window with steal
+    < 2% and 1-min load < 1.5 before launching a leg."""
+    for _ in range(QUIET_WAIT_MIN * 2):
+        s0, t0 = _cpu_jiffies()
+        time.sleep(30)
+        s1, t1 = _cpu_jiffies()
+        steal = 100.0 * (s1 - s0) / max(t1 - t0, 1)
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if steal < STEAL_MAX_PCT and load1 < 1.5:
+            return
+        print(f"waiting for quiet window (steal {steal:.1f}%, "
+              f"load {load1:.1f})", file=sys.stderr)
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
@@ -52,6 +68,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
                SPARK_GRAFT_NPART=os.environ.get(
                    "SPARK_GRAFT_NPART", "128"))
     for attempt in range(STEAL_RETRY):
+        _wait_quiet()
         s0, t0 = _cpu_jiffies()
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")], env=env,
@@ -136,6 +153,63 @@ def main():
     for q in lo["queries"]:
         md.append(f"| {q} | {lo['queries'][q]} | {hi['queries'][q]} | "
                   f"{per_q.get(q, '')} |")
+    md += [
+        "",
+        "## Measurement validity on this host (READ FIRST)",
+        "",
+        "The sandbox VM suffers bursty hypervisor CPU steal (identical "
+        "jobs swing up to 3x in wall-clock between windows). Every leg "
+        "above polled for a quiet window (steal < 2%, load < 1.5) "
+        "before starting and records the steal observed DURING the "
+        "run; treat the steal column as the validity gate for every "
+        "number in this file. Legs are retried up to "
+        f"{STEAL_RETRY}x when the gate fails; the reported leg is the "
+        "last attempt.",
+    ]
+    bal_path = bench_dir / "BALANCE.json"
+    if bal_path.exists():
+        bal = json.loads(bal_path.read_text())
+        h, l = bal["hash_placement"], bal["lpt_placement"]
+        md += [
+            "",
+            "## Deterministic load balance (scripts/balance_stats.py)",
+            "",
+            "Per-partition kernel load (segment count + per-tile "
+            f"overhead) for {bal['n_tiles']} tiles over "
+            f"{bal['n_part']} partitions — a pure function of the data "
+            "and Spark's hash, immune to host noise:",
+            "",
+            "| placement | partitions used | max/mean load |",
+            "|---|---|---|",
+            f"| hash (round-1) | {h['partitions_used']} | "
+            f"{h['max_over_mean']} |",
+            f"| LPT buckets (current) | {l['partitions_used']} | "
+            f"{l['max_over_mean']} |",
+            "",
+            "The last-wave straggler bound scales with max/mean; LPT "
+            "placement removes the Poisson 2x tail that hash placement "
+            "puts on ~uniform tiles.",
+        ]
+    burn_path = bench_dir / "BURN_CONTROL.json"
+    if burn_path.exists():
+        b = json.loads(burn_path.read_text())
+        md += [
+            "",
+            "## Pure-CPU ceiling (scripts/burn_control.py)",
+            "",
+            "Float-arithmetic spin processes (no memory traffic, no "
+            "Spark) measure how much CPU the hypervisor actually "
+            f"delivers at {b['n_low']} vs {b['n_high']} processes: "
+            f"ceiling efficiency **{b['ceiling_efficiency']}**. "
+            "Steal per leg: "
+            + ", ".join(f"n={l['n']}: {l['steal_pct']}%"
+                        for l in b["legs"])
+            + ". The low-n legs run nearly steal-free while high-n "
+            "legs are throttled — the host does not deliver "
+            f"{b['n_high']} full cores, so NO workload can reach "
+            "efficiency 1.0 here; read the Spark numbers against this "
+            "ceiling (observed 0.74-0.87 depending on the window).",
+        ]
     mp = None
     mp_path = bench_dir / "MP_CONTROL.json"
     if mp_path.exists():
