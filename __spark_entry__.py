@@ -309,6 +309,16 @@ def q_clip_aoi_geometry(spark, sf_dir):
         F.round(F.col("by") * 1000).cast("long").alias("by_mm"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Per-user session windows (native F.session_window, 12 h gap):
+    session start/end epoch, event count, milli-value sum. Same
+    aggregation runs as a watermarked stream (sessionize_events
+    streaming=True, tested in tests/test_spark_ops.py)."""
+    from osm_sidewalkreator_spark.streaming.events_stream import (
+        sessionize_events)
+    return sessionize_events(spark, sf_dir)
+
+
 def q_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup dedup (keep-first rule): survivors
     after dropping every vector with a cosine>=0.35 duplicate of
@@ -658,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlay_difference": q_overlay_difference,
         "q_incidence_ids": q_incidence_ids,
         "q_embedding_dedup": q_embedding_dedup,
+        "q_sessionize": q_sessionize,
     }
 
 
@@ -1122,6 +1133,28 @@ def oracle_sql() -> dict[str, str]:
                    (int_int AND has_ext) AS crosses,
                    (inter AND NOT int_int) AS touches
             FROM g WHERE inter
+        """,
+        "q_sessionize": """
+            WITH o AS (SELECT user_id, event_id, ts, value,
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS pts
+                       FROM events),
+                 i AS (SELECT *, CASE WHEN pts IS NULL
+                              OR ts >= pts + INTERVAL 12 HOUR
+                              THEN 1 ELSE 0 END AS ni
+                       FROM o),
+                 s AS (SELECT *, sum(ni) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM i)
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+                   CAST(floor(epoch(max(ts) + INTERVAL 12 HOUR))
+                        AS BIGINT) AS end_s,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                        AS BIGINT) AS value_milli
+            FROM s GROUP BY user_id, sid
         """,
         "q_embedding_dedup": """
             WITH e AS (SELECT vec_id, label,

@@ -59,3 +59,51 @@ def run_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f"{sf_dir}/events.parquet", dst)
     name = f"events_stream_{Path(sf_dir).name.replace('.', '_')}"
     return minutely_event_counts_stream(spark, str(stage), name)
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str,
+                      gap: str = "12 hours",
+                      streaming: bool = False) -> DataFrame:
+    """Per-user session windows (``F.session_window`` — Spark's native
+    merging session windows, the engine's stateful-aggregation path for
+    SURVEY.md §2.9).
+
+    A session groups a user's events whose inter-event gap is < ``gap``;
+    the window end extends ``gap`` past the last event ([start, end)
+    semantics — an event landing exactly on the closing boundary opens
+    a NEW session). Works identically as a batch aggregation (the
+    oracle gate path) and as a watermarked stream (``streaming=True``
+    runs availableNow over the staged file source; sessions flush as
+    the watermark passes them).
+    """
+    if streaming:
+        stage = Path(tempfile.gettempdir()) / "sidewalkreator_stream" \
+            / Path(sf_dir).name
+        stage.mkdir(parents=True, exist_ok=True)
+        dst = stage / "events.parquet"
+        if not dst.exists():
+            shutil.copy(f"{sf_dir}/events.parquet", dst)
+        schema = spark.read.parquet(str(stage)).schema
+        ev = (spark.readStream.schema(schema).parquet(str(stage))
+              .withColumn("ts", F.to_timestamp("ts")))
+        ev = ev.withWatermark("ts", "10 minutes")
+    else:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .withColumn("ts", F.to_timestamp("ts"))
+    agg = (ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 1000).cast("long"))
+                 .alias("value_milli")))
+    out_cols = ["user_id",
+                F.unix_timestamp(F.col("w.start")).alias("start_s"),
+                F.unix_timestamp(F.col("w.end")).alias("end_s"),
+                "n_events", "value_milli"]
+    if not streaming:
+        return agg.select(*out_cols)
+    name = f"events_sessions_{Path(sf_dir).name.replace('.', '_')}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name).select(*out_cols)

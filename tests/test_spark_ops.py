@@ -255,3 +255,27 @@ def test_jaccard_df_cap_scale_guard(spark):
     capped_tight = {tuple(r[:2]) for r in
                     TX.ngram_jaccard_pairs(docs, 0.5, max_df=2).collect()}
     assert capped_tight <= {t[:2] for t in exact}
+
+
+def test_sessionize_stream_matches_batch(spark):
+    """Native session windows: the watermarked availableNow stream
+    materializes exactly the batch aggregation (SURVEY.md 2.9)."""
+    from osm_sidewalkreator_spark.streaming.events_stream import (
+        sessionize_events)
+    batch = {tuple(r) for r in sessionize_events(spark, SF).collect()}
+    stream = {tuple(r) for r in
+              sessionize_events(spark, SF, streaming=True).collect()}
+    assert batch == stream and len(batch) > 300
+
+
+def test_embedding_neardup_lsh_subset(spark):
+    """LSH-candidate near-dup dedup only ever KEEPS more than exact
+    (a missed candidate pair keeps a duplicate, never drops a
+    survivor); with enough tables it converges to exact."""
+    from osm_sidewalkreator_spark.operators import simsearch as SS
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {r.vec_id for r in
+             SS.embedding_neardup_dedup(emb, 0.35).collect()}
+    lsh = {r.vec_id for r in
+           SS.embedding_neardup_dedup(emb, 0.35, use_lsh=True).collect()}
+    assert exact <= lsh
