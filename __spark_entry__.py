@@ -319,6 +319,21 @@ def q_sessionize(spark, sf_dir):
     return sessionize_events(spark, sf_dir)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Custom stateful streaming dedup (applyInPandasWithState, state
+    TTL past watermark): events replayed 20% duplicated across source
+    files; first occurrence of each event_id survives. Replays are
+    byte-identical rows, so the exact oracle is the distinct source."""
+    from osm_sidewalkreator_spark.streaming.stateful import (
+        run_stream_dedup)
+    out = run_stream_dedup(spark, sf_dir)
+    return out.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "user_id", "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("value_milli"))
+
+
 def q_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup dedup (keep-first rule): survivors
     after dropping every vector with a cosine>=0.35 duplicate of
@@ -669,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incidence_ids": q_incidence_ids,
         "q_embedding_dedup": q_embedding_dedup,
         "q_sessionize": q_sessionize,
+        "q_stream_dedup": q_stream_dedup,
     }
 
 
@@ -1133,6 +1149,13 @@ def oracle_sql() -> dict[str, str]:
                    (int_int AND has_ext) AS crosses,
                    (inter AND NOT int_int) AS touches
             FROM g WHERE inter
+        """,
+        "q_stream_dedup": """
+            SELECT event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   user_id, event_type,
+                   CAST(round(value * 1000) AS BIGINT) AS value_milli
+            FROM events
         """,
         "q_sessionize": """
             WITH o AS (SELECT user_id, event_id, ts, value,

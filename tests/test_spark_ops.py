@@ -279,3 +279,14 @@ def test_embedding_neardup_lsh_subset(spark):
     lsh = {r.vec_id for r in
            SS.embedding_neardup_dedup(emb, 0.35, use_lsh=True).collect()}
     assert exact <= lsh
+
+
+def test_stream_dedup_stateful(spark):
+    """applyInPandasWithState dedup: 20% replayed events collapse to
+    exactly the distinct source ids (custom stateful op, SURVEY 2.10)."""
+    from osm_sidewalkreator_spark.streaming.stateful import (
+        run_stream_dedup)
+    out = run_stream_dedup(spark, SF)
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    src_n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert len(ids) == len(set(ids)) == src_n
