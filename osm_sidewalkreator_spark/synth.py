@@ -33,6 +33,10 @@ SCALES = {
     "sf0.001": {"k": 6, "pages": 10_000},
     "sf0.01": {"k": 12, "pages": 100_000},
     "sf0.1": {"k": 120, "pages": 1_000_000},
+    # 4x the sf0.1 street grid: scaling-evidence input (amortizes the
+    # fixed per-job overhead so the N->4N ratio reflects the kernels,
+    # as it would on a real multi-executor job); tiny pages side
+    "sf0.4": {"k": 240, "pages": 10_000},
 }
 
 SYNTH_ROOT = Path(os.environ.get("SPARK_GRAFT_SYNTH_ROOT",
