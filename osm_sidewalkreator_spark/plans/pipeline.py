@@ -213,6 +213,9 @@ def make_bucket_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
     return kernel
 
 
+_BUCKET_ID_CACHE: dict = {}
+
+
 def _hash_aligned_bucket_ids(spark: SparkSession, n_part: int) -> list:
     """One int id per partition p with pmod(murmur3(id), n_part) == p.
 
@@ -221,6 +224,8 @@ def _hash_aligned_bucket_ids(spark: SparkSession, n_part: int) -> list:
     partitions (Poisson) and wreck a balanced assignment. Evaluating
     Spark's own hash over a small id range (one tiny job) yields ids
     that map bijectively onto partitions."""
+    if n_part in _BUCKET_ID_CACHE:
+        return _BUCKET_ID_CACHE[n_part]
     rows = spark.range(0, 64 * n_part).select(
         F.col("id").cast("int").alias("b"),
         F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_part)).alias("p")
@@ -231,7 +236,8 @@ def _hash_aligned_bucket_ids(spark: SparkSession, n_part: int) -> list:
             m[r.p] = r.b
     if len(m) < n_part:     # astronomically unlikely at 64x oversample
         raise RuntimeError(f"hash alignment found {len(m)}/{n_part}")
-    return [m[p] for p in range(n_part)]
+    _BUCKET_ID_CACHE[n_part] = [m[p] for p in range(n_part)]
+    return _BUCKET_ID_CACHE[n_part]
 
 
 # above this many tiles the per-tile cost census is no longer a
