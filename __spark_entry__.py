@@ -262,6 +262,14 @@ def q_cosine_lsh(spark, sf_dir):
     return SS.cosine_topk_lsh(emb, k=5, query_mod=50)
 
 
+def q_cosine_ivf(spark, sf_dir):
+    """IVF ANN (centroid cells + n_probe search; rows-only — the
+    approximate result has no SQL equivalent; recall pinned >= 0.9 on
+    clustered fixtures in tests/test_spark_ops.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SS.cosine_topk_ivf(emb, k=5, query_mod=50)
+
+
 def q_events_minutely(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy("event_type",
@@ -664,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_lsh": q_cosine_lsh,
+        "q_cosine_ivf": q_cosine_ivf,
         "q_events_minutely": q_events_minutely,
         "q_lineitem_pricing": q_lineitem_pricing,
         "q_protoblocks": q_protoblocks,

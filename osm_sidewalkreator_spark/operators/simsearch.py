@@ -218,3 +218,66 @@ def embedding_neardup_dedup(emb: DataFrame, threshold: float = 0.35,
     dups = (pairs.filter(F.round(sim, 9) >= threshold)
             .select(F.col("ib").alias("vec_id")).distinct())
     return emb.join(dups, "vec_id", "left_anti")
+
+
+def cosine_topk_ivf(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                    n_centroids: int = 32, n_probe: int = 6) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition vectors by
+    nearest centroid, search a query only within its ``n_probe``
+    closest centroid cells.
+
+    Centroids are a deterministic uniform sample of the corpus itself
+    (the ``n_centroids`` smallest xxhash64(vec_id) values — no RNG
+    state, reproducible across runs); one-iteration k-means refinement
+    is deliberately omitted to keep the operator stateless. Scale
+    shape: the centroid table is driver-small and broadcast, vector
+    assignment is one broadcast-join argmin pass (JVM column algebra),
+    and the candidate join shuffles on the centroid id — per-query
+    work is bounded by the n_probe largest cells instead of N.
+    """
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    cent = (e.withColumn("_h", F.xxhash64("vec_id"))
+            .orderBy("_h").limit(n_centroids)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("v").alias("cv")))
+    sim_c = _dot(F.col("v"), F.col("cv")) \
+        / (_norm(F.col("v")) * _norm(F.col("cv")))
+    scored = (e.crossJoin(F.broadcast(cent))
+              .withColumn("_s", F.round(sim_c, 9)))
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("_s").desc(), F.col("cid").asc())
+    ranked = scored.withColumn("_r", F.row_number().over(wa))
+    assign = (ranked.filter(F.col("_r") == 1)
+              .select("vec_id", "cid"))
+    probes = (ranked.filter(F.col("_r") <= n_probe)
+              .filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0)
+              .select(F.col("vec_id").alias("query_id"), "cid"))
+    cand = (probes.join(assign, "cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id").distinct())
+    qv = e.select(F.col("vec_id").alias("query_id"),
+                  F.col("v").alias("qv"))
+    j = cand.join(qv, "query_id").join(e, "vec_id")
+    sim = _dot(F.col("qv"), F.col("v")) \
+        / (_norm(F.col("qv")) * _norm(F.col("v")))
+    j = j.withColumn("cosine", F.round(sim, 9))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
+def ivf_recall_at_k(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                    **ivf_kwargs) -> float:
+    """Measured recall@k of the IVF path vs the brute-force truth."""
+    truth = cosine_topk_bruteforce(emb, k=k, query_mod=query_mod) \
+        .select("query_id", "neighbor_id")
+    approx = cosine_topk_ivf(emb, k=k, query_mod=query_mod,
+                             **ivf_kwargs).select(
+        "query_id", "neighbor_id")
+    hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_truth = truth.count()
+    return (hit.count() / n_truth) if n_truth else 1.0

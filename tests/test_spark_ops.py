@@ -290,3 +290,20 @@ def test_stream_dedup_stateful(spark):
     ids = [r.event_id for r in out.select("event_id").collect()]
     src_n = spark.read.parquet(f"{SF}/events.parquet").count()
     assert len(ids) == len(set(ids)) == src_n
+
+
+def test_ivf_recall_clustered(spark):
+    """IVF ANN: centroid-sampled cells recover >= 0.9 recall@5 on
+    clustered embeddings (same honest-fixture rationale as the LSH
+    recall test — the driver's near-uniform vectors defeat any ANN)."""
+    import numpy as np
+    from osm_sidewalkreator_spark.operators import simsearch as SS
+    rng = np.random.default_rng(42)
+    cent = rng.normal(0, 1, (20, 64))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    vecs = cent[np.arange(2000) % 20] + rng.normal(0, 0.12, (2000, 64))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    r = SS.ivf_recall_at_k(emb, k=5, n_centroids=64, n_probe=8)
+    assert r >= 0.9, f"recall {r}"
