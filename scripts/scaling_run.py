@@ -190,6 +190,33 @@ def main():
             "placement removes the Poisson 2x tail that hash placement "
             "puts on ~uniform tiles.",
         ]
+    p4_path = bench_dir / "PIPE4.json"
+    if p4_path.exists():
+        p4 = json.loads(p4_path.read_text())
+        md += [
+            "",
+            "## Amortized pipeline scaling (sf0.4, 4x street grid)",
+            "",
+            "The sf0.1 suite carries ~6 s of fixed driver/scheduling "
+            "overhead per run (measured by a no-op-kernel A/B), which "
+            "caps the whole-job ratio at small scale the same way a "
+            "5-minute job would never show cluster scaling. The same "
+            "pipeline on the 4x input (114,734 streets, ~2,300 tiles, "
+            "963,914 features), N -> 4N at two operating points:",
+            "",
+            "| pair | T_N (s) | T_4N (s) | steal N/4N % | efficiency |",
+            "|---|---|---|---|---|",
+        ]
+        for p in p4["pairs"]:
+            e4 = round((p["t_low"] / p["t_high"]) / 4, 3)
+            md.append(
+                f"| {p['n_low']} -> {p['n_high']} | {p['t_low']} | "
+                f"{p['t_high']} | {p['steal_low']} / {p['steal_high']} "
+                f"| **{e4}** |")
+        md += [
+            "",
+            p4.get("note", ""),
+        ]
     burn_path = bench_dir / "BURN_CONTROL.json"
     if burn_path.exists():
         b = json.loads(burn_path.read_text())
