@@ -144,17 +144,31 @@ def q_dem_kerb_slope(spark, sf_dir):
     cs = P.DEM_CELL_M
     k = kerbs.withColumn("cx", F.floor(F.col("x") / cs).cast("int")) \
              .withColumn("cy", F.floor(F.col("y") / cs).cast("int"))
-    def d(dx, dy, alias):
-        return dem.select((F.col("cell_x") - dx).alias("cx"),
-                          (F.col("cell_y") - dy).alias("cy"),
-                          F.col("elev_m").alias(alias))
-    j = (k.join(d(1, 0, "e_e"), ["cx", "cy"])
-          .join(d(-1, 0, "e_w"), ["cx", "cy"])
-          .join(d(0, 1, "e_n"), ["cx", "cy"])
-          .join(d(0, -1, "e_s"), ["cx", "cy"]))
+    # ONE pass over the DEM: each cell contributes its elevation to its
+    # four neighbors tagged by direction; join once and pivot. (The
+    # round-1 plan was 4 DEM self-joins = 4 shuffles of the raster and
+    # anti-scaled with cores; at a 100 TB DEM this is the difference
+    # between 1 scan and 4.)
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(tag).alias("t"))
+        for dx, dy, tag in ((1, 0, "e_e"), (-1, 0, "e_w"),
+                            (0, 1, "e_n"), (0, -1, "e_s"))])
+    c = (dem.select("cell_x", "cell_y", "elev_m",
+                    F.explode(offs).alias("o"))
+         .select((F.col("cell_x") - F.col("o.dx")).alias("cx"),
+                 (F.col("cell_y") - F.col("o.dy")).alias("cy"),
+                 F.col("o.t").alias("t"), "elev_m"))
+    g = (k.join(c, ["cx", "cy"])
+         .groupBy("fid")
+         .agg(*[F.max(F.when(F.col("t") == tag, F.col("elev_m")))
+                .alias(tag)
+                for tag in ("e_e", "e_w", "e_n", "e_s")],
+              F.count(F.lit(1)).alias("_n"))
+         .filter(F.col("_n") == 4))   # inner-join-all-4 semantics
     slope = F.sqrt(F.pow((F.col("e_e") - F.col("e_w")) / (2 * cs), 2)
                    + F.pow((F.col("e_n") - F.col("e_s")) / (2 * cs), 2))
-    return j.select("fid", (F.round(slope * 100, 4) + 0.0).alias("slope_pct"))
+    return g.select("fid", (F.round(slope * 100, 4) + 0.0).alias("slope_pct"))
 
 
 def q_dedup_geometries(spark, sf_dir):
