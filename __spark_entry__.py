@@ -366,6 +366,26 @@ def q_embedding_dedup(spark, sf_dir):
         .select("vec_id", "label")
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """A9 with geometric (orientation-insensitive) equality: every 5th
+    2-vertex street is re-injected REVERSED (raw WKB point-block swap:
+    header 9 bytes, then the two 16-byte points exchanged); canonical
+    dedup must collapse each reversed copy onto its original."""
+    st = (PL.load_streets(spark, sf_dir)
+          .filter(F.col("n_vertices") == 2)
+          .select("osm_id", "geometry"))
+    g = F.col("geometry")
+    num = F.substring("osm_id", 2, 18).cast("long")
+    rev = (st.filter(num % 5 == 0)
+           .select(F.concat(F.lit("rev_"), F.col("osm_id"))
+                   .alias("osm_id"),
+                   F.concat(g.substr(1, 9), g.substr(26, 16),
+                            g.substr(10, 16)).alias("geometry")))
+    both = st.unionByName(rev)
+    out = J.dedup_geometries(both, order_col="osm_id", canonical=True)
+    return out.select("osm_id")
+
+
 def q_incidence_ids(spark, sf_dir):
     """J8 id-list incidence variant (generic_functions.py:1408-1465
     default mode, sidewalk ids per protoblock at
@@ -705,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlay_intersection": q_overlay_intersection,
         "q_overlay_difference": q_overlay_difference,
         "q_incidence_ids": q_incidence_ids,
+        "q_dedup_canonical": q_dedup_canonical,
         "q_embedding_dedup": q_embedding_dedup,
         "q_sessionize": q_sessionize,
         "q_stream_dedup": q_stream_dedup,
@@ -1214,6 +1235,21 @@ def oracle_sql() -> dict[str, str]:
                 AND round(list_dot_product(b.v, a.v)
                       / (sqrt(list_dot_product(b.v, b.v))
                        * sqrt(list_dot_product(a.v, a.v))), 9) >= 0.35)
+        """,
+        "q_dedup_canonical": f"""
+            WITH s AS (SELECT osm_id, x1, y1, x2, y2 FROM {streets}
+                       WHERE n_vertices = 2),
+                 r AS (SELECT 'rev_' || osm_id AS osm_id,
+                              x2 AS x1, y2 AS y1, x1 AS x2, y1 AS y2
+                       FROM s
+                       WHERE CAST(substr(osm_id, 2) AS BIGINT) % 5 = 0),
+                 u AS (SELECT * FROM s UNION ALL SELECT * FROM r),
+                 k AS (SELECT osm_id,
+                         CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2)
+                              THEN [x1, y1, x2, y2]
+                              ELSE [x2, y2, x1, y1] END AS key
+                       FROM u)
+            SELECT min(osm_id) AS osm_id FROM k GROUP BY key
         """,
         "q_incidence_ids": f"""
             WITH s AS (SELECT * FROM

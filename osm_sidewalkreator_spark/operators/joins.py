@@ -236,11 +236,24 @@ def pip_join_points_polygons(points: DataFrame, polys: DataFrame,
 
 
 def dedup_geometries(df: DataFrame, geom_col: str = "geometry",
-                     order_col: str | None = None) -> DataFrame:
+                     order_col: str | None = None,
+                     canonical: bool = False) -> DataFrame:
     """Duplicate-geometry removal (A9, ``generic_functions.py:92-95``):
-    keep one row per identical WKB (deterministic winner by order_col)."""
+    keep one row per identical WKB (deterministic winner by order_col).
+
+    ``canonical=True`` normalizes LineString orientation first
+    (Arrow-batched UDF), so a way and its reverse count as the SAME
+    geometry — matching ``native:deleteduplicategeometries``'s
+    geometric equality rather than byte equality."""
+    key = geom_col
+    if canonical:
+        from ..functions.geo import st_canonical_wkb
+        df = df.withColumn("_ckey", st_canonical_wkb(F.col(geom_col)))
+        key = "_ckey"
     if order_col is None:
-        return df.dropDuplicates([geom_col])
-    w = Window.partitionBy(geom_col).orderBy(F.col(order_col).asc())
-    return (df.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+        return df.dropDuplicates([key]).drop("_ckey") if canonical \
+            else df.dropDuplicates([key])
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    out = (df.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    return out.drop("_ckey") if canonical else out

@@ -213,3 +213,25 @@ def test_endpoint_degrees():
     d0, d1 = kernels.endpoint_degrees(segs)
     assert d1[0] == 3 and d0[1] == 3 and d0[2] == 3
     assert d0[0] == 1 and d1[1] == 1 and d1[2] == 1
+
+
+def test_canonical_wkb_orientation():
+    """st_canonical_wkb: a line and its reverse encode identically;
+    distinct lines stay distinct; non-linestrings pass through."""
+    import pandas as pd
+    from osm_sidewalkreator_spark.functions.geo import st_canonical_wkb
+    from osm_sidewalkreator_spark.geometry import wkb as W
+    fn = st_canonical_wkb.func
+    a = np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 1.0]])
+    line = W.linestring_wkb(a)
+    rline = W.linestring_wkb(a[::-1])
+    other = W.linestring_wkb(a + 1.0)
+    poly = W.polygon_wkb(np.array([[0, 0], [1, 0], [1, 1], [0, 0]],
+                                  dtype=float))
+    out = list(fn(pd.Series([line, rline, other, poly, None])))
+    assert out[0] == out[1]
+    assert out[2] != out[0]
+    assert out[3] == poly
+    assert out[4] is None
+    # canonical form is one of the two inputs
+    assert out[0] in (line, rline)
