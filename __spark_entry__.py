@@ -366,6 +366,55 @@ def q_embedding_dedup(spark, sf_dir):
         .select("vec_id", "label")
 
 
+def q_interpolate(spark, sf_dir):
+    """P13 interpolate-along-line (QgsGeometry.interpolate,
+    osm_sidewalkreator.py:1365): the point at 37% of each 2-vertex
+    street's length, computed by the WKB-decoding UDF over the
+    TM-projected geometry; the oracle recomputes it from the flat
+    endpoint columns. Multi-vertex parity is unit-tested against a
+    hand-walked reference."""
+    from osm_sidewalkreator_spark.functions.geo import (
+        st_interpolate, st_transform_tm)
+    st = PL.load_streets(spark, sf_dir).filter(F.col("n_vertices") == 2)
+    tm = st.select("osm_id", st_transform_tm(
+        F.col("geometry"), CITY_LON0, CITY_LAT0).alias("g"))
+    p = tm.select("osm_id",
+                  st_interpolate(F.col("g"), F.lit(0.37)).alias("p"))
+    return p.select(
+        "osm_id",
+        F.round(F.col("p.x") * 1000).cast("long").alias("px_mm"),
+        F.round(F.col("p.y") * 1000).cast("long").alias("py_mm"))
+
+
+def q_major_width_diff(spark, sf_dir):
+    """P16 ``get_major_dif_signed`` (generic_functions.py:1026-1059) as
+    a node join: per (way, endpoint), the width of the incident OTHER
+    way with the largest signed difference — others within the 0.5 m
+    isclose tolerance excluded; own width when none qualify."""
+    st = (PL.assign_widths(PL.load_streets(spark, sf_dir))
+          .filter(F.col("n_vertices") == 2)
+          .select("osm_id", "width_m", "x1", "y1", "x2", "y2"))
+    eps = (st.select("osm_id", "width_m", F.explode(F.array(
+        F.struct(F.col("x1").alias("px"), F.col("y1").alias("py")),
+        F.struct(F.col("x2").alias("px"), F.col("y2").alias("py"))))
+        .alias("p"))
+        .select("osm_id", "width_m", "p.px", "p.py"))
+    other = eps.select(F.col("osm_id").alias("o_id"),
+                       F.col("width_m").alias("o_w"), "px", "py")
+    mx = (eps.join(other, ["px", "py"])
+          .filter((F.col("o_id") != F.col("osm_id"))
+                  & (F.abs(F.col("o_w") - F.col("width_m")) > 0.5))
+          .groupBy("osm_id", "px", "py")
+          .agg(F.max(F.col("o_w") - F.col("width_m")).alias("_mx")))
+    out = eps.join(mx, ["osm_id", "px", "py"], "left")
+    major = F.col("width_m") + F.coalesce(F.col("_mx"), F.lit(0.0))
+    return out.select(
+        "osm_id",
+        F.round(F.col("px") * 1000).cast("long").alias("px_mm"),
+        F.round(F.col("py") * 1000).cast("long").alias("py_mm"),
+        F.round(major * 1000).cast("long").alias("major_w_mm"))
+
+
 def q_dedup_canonical(spark, sf_dir):
     """A9 with geometric (orientation-insensitive) equality: every 5th
     2-vertex street is re-injected REVERSED (raw WKB point-block swap:
@@ -726,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlay_difference": q_overlay_difference,
         "q_incidence_ids": q_incidence_ids,
         "q_dedup_canonical": q_dedup_canonical,
+        "q_major_width_diff": q_major_width_diff,
+        "q_interpolate": q_interpolate,
         "q_embedding_dedup": q_embedding_dedup,
         "q_sessionize": q_sessionize,
         "q_stream_dedup": q_stream_dedup,
@@ -1235,6 +1286,44 @@ def oracle_sql() -> dict[str, str]:
                 AND round(list_dot_product(b.v, a.v)
                       / (sqrt(list_dot_product(b.v, b.v))
                        * sqrt(list_dot_product(a.v, a.v))), 9) >= 0.35)
+        """,
+        "q_interpolate": f"""
+            SELECT osm_id,
+                   CAST(round((x1 + 0.37 * (x2 - x1)) * 1000) AS BIGINT)
+                     AS px_mm,
+                   CAST(round((y1 + 0.37 * (y2 - y1)) * 1000) AS BIGINT)
+                     AS py_mm
+            FROM {streets} WHERE n_vertices = 2
+        """,
+        "q_major_width_diff": f"""
+            WITH w AS (SELECT osm_id, x1, y1, x2, y2,
+                         CASE WHEN TRY_CAST(width AS DOUBLE) > 0
+                              THEN TRY_CAST(width AS DOUBLE)
+                              ELSE {wc} END AS width_m
+                       FROM {streets}
+                       WHERE n_vertices = 2
+                         AND CASE WHEN TRY_CAST(width AS DOUBLE) > 0
+                                  THEN TRY_CAST(width AS DOUBLE)
+                                  ELSE {wc} END >= 0.5),
+                 eps AS (SELECT osm_id, width_m, x1 AS px, y1 AS py
+                         FROM w
+                         UNION ALL
+                         SELECT osm_id, width_m, x2, y2 FROM w),
+                 mx AS (SELECT a.osm_id, a.px, a.py,
+                               max(b.width_m - a.width_m) AS m
+                        FROM eps a JOIN eps b
+                          ON a.px = b.px AND a.py = b.py
+                         AND a.osm_id <> b.osm_id
+                         AND abs(b.width_m - a.width_m) > 0.5
+                        GROUP BY a.osm_id, a.px, a.py)
+            SELECT eps.osm_id,
+                   CAST(round(eps.px * 1000) AS BIGINT) AS px_mm,
+                   CAST(round(eps.py * 1000) AS BIGINT) AS py_mm,
+                   CAST(round((eps.width_m + coalesce(mx.m, 0.0))
+                        * 1000) AS BIGINT) AS major_w_mm
+            FROM eps LEFT JOIN mx
+              ON eps.osm_id = mx.osm_id AND eps.px = mx.px
+             AND eps.py = mx.py
         """,
         "q_dedup_canonical": f"""
             WITH s AS (SELECT osm_id, x1, y1, x2, y2 FROM {streets}

@@ -226,3 +226,26 @@ def st_canonical_wkb(col: pd.Series) -> pd.Series:
                 break
         out.append(wkb.linestring_wkb(c))
     return pd.Series(out)
+
+
+def st_interpolate(col, frac_col):
+    """P13 ``QgsGeometry.interpolate`` (osm_sidewalkreator.py:1365) as
+    a scalar function: the point at fraction ``frac`` of the polyline's
+    length (frac is clamped to [0, 1] via the underlying distance
+    clamp). Returns struct(x, y)."""
+    @pandas_udf(T.StructType([T.StructField("x", T.DoubleType()),
+                              T.StructField("y", T.DoubleType())]))
+    def _interp(blobs: pd.Series, fracs: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for blob, fr in zip(blobs, fracs):
+            if blob is None:
+                xs.append(None)
+                ys.append(None)
+                continue
+            cs = wkb.decode_lines(bytes(blob))[0]
+            p = core.interpolate_along(
+                cs, float(fr) * core.polyline_length(cs))
+            xs.append(float(p[0]))
+            ys.append(float(p[1]))
+        return pd.DataFrame({"x": xs, "y": ys})
+    return _interp(col, frac_col)

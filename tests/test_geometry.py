@@ -235,3 +235,16 @@ def test_canonical_wkb_orientation():
     assert out[4] is None
     # canonical form is one of the two inputs
     assert out[0] in (line, rline)
+
+
+def test_interpolate_along_multivertex():
+    """P13 against a hand-walked reference on a 4-vertex polyline."""
+    from osm_sidewalkreator_spark.geometry import core
+    cs = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 4.0], [6.0, 4.0]])
+    # total length 3 + 4 + 3 = 10
+    assert np.allclose(core.interpolate_along(cs, 0.0), [0, 0])
+    assert np.allclose(core.interpolate_along(cs, 1.5), [1.5, 0])
+    assert np.allclose(core.interpolate_along(cs, 5.0), [3, 2])
+    assert np.allclose(core.interpolate_along(cs, 8.5), [4.5, 4])
+    assert np.allclose(core.interpolate_along(cs, 99.0), [6, 4])
+    assert np.allclose(core.interpolate_along(cs, -5.0), [0, 0])
