@@ -366,6 +366,36 @@ def q_embedding_dedup(spark, sf_dir):
         .select("vec_id", "label")
 
 
+def q_junction_angles(spark, sf_dir):
+    """P14/P15 direction vectors + angle-between (core
+    angle_between_three_points semantics, generic_functions.py corner
+    math): for every unordered pair of 2-vertex streets meeting at a
+    node, the angle in degrees between their away-from-node direction
+    vectors. Pure column algebra (atan2 of |cross| over dot)."""
+    st = (PL.load_streets(spark, sf_dir)
+          .filter(F.col("n_vertices") == 2)
+          .select("osm_id", "x1", "y1", "x2", "y2"))
+    eps = st.select("osm_id", F.explode(F.array(
+        F.struct(F.col("x1").alias("px"), F.col("y1").alias("py"),
+                 F.col("x2").alias("ox"), F.col("y2").alias("oy")),
+        F.struct(F.col("x2").alias("px"), F.col("y2").alias("py"),
+                 F.col("x1").alias("ox"), F.col("y1").alias("oy"))))
+        .alias("e")).select("osm_id", "e.px", "e.py", "e.ox", "e.oy")
+    b = eps.select(F.col("osm_id").alias("id_b"), "px", "py",
+                   F.col("ox").alias("bx"), F.col("oy").alias("by"))
+    j = (eps.join(b, ["px", "py"])
+         .filter(F.col("osm_id") < F.col("id_b")))
+    ux, uy = F.col("ox") - F.col("px"), F.col("oy") - F.col("py")
+    vx, vy = F.col("bx") - F.col("px"), F.col("by") - F.col("py")
+    ang = F.degrees(F.atan2(F.abs(ux * vy - uy * vx),
+                            ux * vx + uy * vy))
+    return j.select(
+        F.col("osm_id").alias("id_a"), "id_b",
+        F.round(F.col("px") * 1000).cast("long").alias("px_mm"),
+        F.round(F.col("py") * 1000).cast("long").alias("py_mm"),
+        F.round(ang, 4).alias("angle_deg"))
+
+
 def q_interpolate(spark, sf_dir):
     """P13 interpolate-along-line (QgsGeometry.interpolate,
     osm_sidewalkreator.py:1365): the point at 37% of each 2-vertex
@@ -777,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_canonical": q_dedup_canonical,
         "q_major_width_diff": q_major_width_diff,
         "q_interpolate": q_interpolate,
+        "q_junction_angles": q_junction_angles,
         "q_embedding_dedup": q_embedding_dedup,
         "q_sessionize": q_sessionize,
         "q_stream_dedup": q_stream_dedup,
@@ -1286,6 +1317,27 @@ def oracle_sql() -> dict[str, str]:
                 AND round(list_dot_product(b.v, a.v)
                       / (sqrt(list_dot_product(b.v, b.v))
                        * sqrt(list_dot_product(a.v, a.v))), 9) >= 0.35)
+        """,
+        "q_junction_angles": f"""
+            WITH s AS (SELECT osm_id, x1, y1, x2, y2 FROM {streets}
+                       WHERE n_vertices = 2),
+                 eps AS (SELECT osm_id, x1 AS px, y1 AS py,
+                                x2 AS ox, y2 AS oy FROM s
+                         UNION ALL
+                         SELECT osm_id, x2, y2, x1, y1 FROM s)
+            SELECT a.osm_id AS id_a, b.osm_id AS id_b,
+                   CAST(round(a.px * 1000) AS BIGINT) AS px_mm,
+                   CAST(round(a.py * 1000) AS BIGINT) AS py_mm,
+                   round(degrees(atan2(
+                     -- +0.0 normalizes DuckDB's abs(-0.0) = -0.0,
+                     -- which would flip atan2 to -pi
+                     abs((a.ox - a.px) * (b.oy - b.py)
+                         - (a.oy - a.py) * (b.ox - b.px)) + 0.0,
+                     (a.ox - a.px) * (b.ox - b.px)
+                       + (a.oy - a.py) * (b.oy - b.py))), 4)
+                     AS angle_deg
+            FROM eps a JOIN eps b
+              ON a.px = b.px AND a.py = b.py AND a.osm_id < b.osm_id
         """,
         "q_interpolate": f"""
             SELECT osm_id,
