@@ -465,6 +465,32 @@ def q_dedup_canonical(spark, sf_dir):
     return out.select("osm_id")
 
 
+_L_SHAPE = (-380.137, -380.261, 600.0, 500.0, 190.0)  # ox oy w h t
+
+
+def q_overlay_concave(spark, sf_dir):
+    """J3 over an ARBITRARY (concave) polygon: streets minus an
+    L-shaped polygon (even-odd interval kernel), oracle = the same
+    subtraction with the L's two constituent rectangles (their union IS
+    the L). Off-lattice offset avoids boundary-collinear ambiguity."""
+    import numpy as np
+    from osm_sidewalkreator_spark.geometry import wkb as W
+    from osm_sidewalkreator_spark.operators import overlay as OV
+    ox, oy, w, h, t = _L_SHAPE
+    shell = np.array([[ox, oy], [ox + w, oy], [ox + w, oy + t],
+                      [ox + t, oy + t], [ox + t, oy + h],
+                      [ox, oy + h], [ox, oy]])
+    poly = spark.createDataFrame(
+        [(1, ox, oy, ox + w, oy + h, bytearray(W.polygon_wkb(shell)))],
+        "poly_id long, xmin double, ymin double, xmax double,"
+        " ymax double, geometry binary")
+    st = _streets_as_segs(spark, sf_dir)
+    out = OV.difference_overlay_polygons(st, poly)
+    return out.select("osm_id",
+                      _mm("px_a", "ax_mm"), _mm("py_a", "ay_mm"),
+                      _mm("px_b", "bx_mm"), _mm("py_b", "by_mm"))
+
+
 def q_incidence_ids(spark, sf_dir):
     """J8 id-list incidence variant (generic_functions.py:1408-1465
     default mode, sidewalk ids per protoblock at
@@ -804,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlay_intersection": q_overlay_intersection,
         "q_overlay_difference": q_overlay_difference,
         "q_incidence_ids": q_incidence_ids,
+        "q_overlay_concave": q_overlay_concave,
         "q_dedup_canonical": q_dedup_canonical,
         "q_major_width_diff": q_major_width_diff,
         "q_interpolate": q_interpolate,
@@ -1391,6 +1418,57 @@ def oracle_sql() -> dict[str, str]:
                               ELSE [x2, y2, x1, y1] END AS key
                        FROM u)
             SELECT min(osm_id) AS osm_id FROM k GROUP BY key
+        """,
+        "q_overlay_concave": f"""
+            WITH r AS (SELECT * FROM (VALUES
+                   (-380.137, -380.261,
+                    -380.137 + 600.0, -380.261 + 190.0),
+                   (-380.137, -380.261,
+                    -380.137 + 190.0, -380.261 + 500.0))
+                   AS v(xmin, ymin, xmax, ymax)),
+                 s AS (SELECT osm_id, x1 AS ax, y1 AS ay, x2 AS bx,
+                              y2 AS by
+                       FROM {streets} WHERE n_vertices = 2),
+                 j AS (SELECT s.*, r.* FROM s CROSS JOIN r),
+                 t AS (SELECT *, {_LB_T0} AS t0, {_LB_T1} AS t1,
+                              {_LB_OUT} AS outside
+                       FROM j),
+                 c AS (SELECT osm_id, ax, ay, bx, by, t0, t1
+                       FROM t WHERE NOT outside AND t0 < t1),
+                 g AS (SELECT *, CASE WHEN t0 > coalesce(
+                         max(t1) OVER (PARTITION BY osm_id
+                           ORDER BY t0, t1
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), -1.0)
+                         THEN 1 ELSE 0 END AS new_isl
+                       FROM c),
+                 i AS (SELECT *, sum(new_isl) OVER (PARTITION BY osm_id
+                         ORDER BY t0, t1
+                         ROWS UNBOUNDED PRECEDING) AS isl
+                       FROM g),
+                 m AS (SELECT osm_id, isl, any_value(ax) AS ax,
+                              any_value(ay) AS ay, any_value(bx) AS bx,
+                              any_value(by) AS by,
+                              min(t0) AS mt0, max(t1) AS mt1
+                       FROM i GROUP BY osm_id, isl),
+                 gaps AS (
+                   SELECT osm_id, ax, ay, bx, by,
+                          coalesce(lag(mt1) OVER (PARTITION BY osm_id
+                            ORDER BY mt0), 0.0) AS t0,
+                          mt0 AS t1
+                   FROM m
+                   UNION ALL
+                   SELECT osm_id, any_value(ax), any_value(ay),
+                          any_value(bx), any_value(by),
+                          max(mt1) AS t0, 1.0 AS t1
+                   FROM m GROUP BY osm_id
+                   UNION ALL
+                   SELECT osm_id, x1, y1, x2, y2, 0.0, 1.0
+                   FROM {streets} st
+                   WHERE n_vertices = 2 AND NOT EXISTS
+                     (SELECT 1 FROM c WHERE c.osm_id = st.osm_id))
+            SELECT osm_id, {_LB_PIECE_MM}
+            FROM gaps WHERE t0 < t1
         """,
         "q_incidence_ids": f"""
             WITH s AS (SELECT * FROM

@@ -127,3 +127,64 @@ def test_difference_overlay_single_shuffle(spark):
     # candidate join + per-seg interval merge; no Python evaluation
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def _l_shape_wkb(ox, oy, w, h, t):
+    """L-polygon = union of rects [ox,ox+w]x[oy,oy+t] and
+    [ox,ox+t]x[oy,oy+h] (concave corner at (ox+t, oy+t))."""
+    from osm_sidewalkreator_spark.geometry import wkb as W
+    shell = np.array([[ox, oy], [ox + w, oy], [ox + w, oy + t],
+                      [ox + t, oy + t], [ox + t, oy + h],
+                      [ox, oy + h], [ox, oy]])
+    return W.polygon_wkb(shell)
+
+
+def test_concave_overlay_matches_rect_decomposition(spark):
+    """L-shaped polygon overlays == the rect-path overlays with its two
+    constituent rectangles (exact piece parity, both directions)."""
+    segs, _ = _rand_data(23, nseg=80)
+    sdf, _ = _dfs(spark, segs, np.empty((0, 4)))
+    ox, oy, w, h, t = 10.137, 20.261, 60.0, 50.0, 18.0
+    lw = _l_shape_wkb(ox, oy, w, h, t)
+    pdf = spark.createDataFrame(
+        [(1, ox, oy, ox + w, oy + h, bytearray(lw))],
+        "poly_id long, xmin double, ymin double, xmax double,"
+        " ymax double, geometry binary")
+    rects = spark.createDataFrame(
+        [(1, ox, oy, ox + w, oy + t), (2, ox, oy, ox + t, oy + h)],
+        "block_id long, xmin double, ymin double, xmax double,"
+        " ymax double")
+
+    def setof(df):
+        return {(r.osm_id, _mm(r.px_a), _mm(r.py_a), _mm(r.px_b),
+                 _mm(r.py_b)) for r in df.collect()}
+
+    # difference: L == union of the two rects, so subtraction agrees
+    got_d = setof(OV.difference_overlay_polygons(sdf, pdf,
+                                                 cell_size=16.0))
+    want_d = setof(OV.difference_overlay(sdf, rects, cell_size=16.0))
+    assert got_d == want_d and len(want_d) > 40
+
+    # intersection: merge the two rect-pass pieces per segment via the
+    # interval union (rect pieces overlap on the rect intersection), by
+    # comparing against the polygon kernel's pieces through the
+    # difference-of-complement identity: seg minus (seg minus L)
+    inter = OV.intersection_overlay_polygons(sdf, pdf, cell_size=16.0)
+    # every intersection piece must lie inside the L bbox and not in
+    # the concave notch [ox+t, ox+w] x [oy+t, oy+h]
+    for r in inter.collect():
+        mx = (r.px_a + r.px_b) / 2
+        my = (r.py_a + r.py_b) / 2
+        assert ox - 1e-9 <= mx <= ox + w + 1e-9
+        assert not (mx > ox + t + 1e-9 and my > oy + t + 1e-9)
+    # and total intersection length + difference length == seg length
+    import collections
+    tot = collections.defaultdict(float)
+    for r in inter.collect():
+        tot[r.osm_id] += np.hypot(r.px_b - r.px_a, r.py_b - r.py_a)
+    for r in OV.difference_overlay_polygons(sdf, pdf,
+                                            cell_size=16.0).collect():
+        tot[r.osm_id] += np.hypot(r.px_b - r.px_a, r.py_b - r.py_a)
+    for i, s in enumerate(segs):
+        ln = float(np.hypot(s[2] - s[0], s[3] - s[1]))
+        assert abs(tot[i] - ln) < 1e-6, (i, tot[i], ln)
