@@ -248,3 +248,57 @@ def test_interpolate_along_multivertex():
     assert np.allclose(core.interpolate_along(cs, 8.5), [4.5, 4])
     assert np.allclose(core.interpolate_along(cs, 99.0), [6, 4])
     assert np.allclose(core.interpolate_along(cs, -5.0), [0, 0])
+
+
+def test_noding_properties_random():
+    """Property test (seeded sweep): noded pieces of random segment
+    soups (a) chain back to their parents end-to-end, (b) conserve
+    length, and (c) no two pieces properly cross."""
+    from osm_sidewalkreator_spark.geometry import noding
+    rng = np.random.default_rng(1234)
+    for trial in range(8):
+        n = int(rng.integers(5, 40))
+        a = rng.uniform(0, 50, (n, 2))
+        b = a + rng.uniform(-25, 25, (n, 2))
+        segs = np.column_stack([a, b])
+        noded, parent = noding.node_segments(segs)
+        snapped = np.column_stack(
+            [noding.snap_round(segs[:, i]) for i in range(4)])
+        lens_in = np.hypot(snapped[:, 2] - snapped[:, 0],
+                           snapped[:, 3] - snapped[:, 1])
+        lens_out = np.hypot(noded[:, 2] - noded[:, 0],
+                            noded[:, 3] - noded[:, 1])
+        for p in np.unique(parent):
+            m = parent == p
+            # (a) pieces of one parent start at its (snapped) start and
+            # end at its end, each piece beginning where the last ended
+            ps = noded[m]
+            assert np.allclose(ps[0, :2], snapped[p, :2], atol=1e-4)
+            assert np.allclose(ps[-1, 2:], snapped[p, 2:], atol=1e-4)
+            assert np.allclose(ps[1:, :2], ps[:-1, 2:], atol=1e-12)
+            # (b) length conservation per parent (snap-level tolerance
+            # scales with the number of split points)
+            assert abs(ps_len := lens_out[m].sum() - lens_in[p]) \
+                < 1e-3 * max(1, m.sum()), (trial, p, ps_len)
+        # (c) no proper crossings between pieces of different parents
+        if len(noded) > 1:
+            pr = noding._candidate_pairs(noded, bin_size=5.0)
+            for i, j in pr[:2000]:
+                t, u = _seg_intersect_params(noded[i], noded[j])
+                if t is None:
+                    continue
+                eps = 1e-6
+                assert not (eps < t < 1 - eps and eps < u < 1 - eps), \
+                    (trial, i, j, t, u)
+
+
+def _seg_intersect_params(s1, s2):
+    d1 = s1[2:] - s1[:2]
+    d2 = s2[2:] - s2[:2]
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(den) < 1e-12:
+        return None, None
+    e = s2[:2] - s1[:2]
+    t = (e[0] * d2[1] - e[1] * d2[0]) / den
+    u = (e[0] * d1[1] - e[1] * d1[0]) / den
+    return t, u
