@@ -307,3 +307,23 @@ def test_ivf_recall_clustered(spark):
         "vec_id long, embedding array<double>")
     r = SS.ivf_recall_at_k(emb, k=5, n_centroids=64, n_probe=8)
     assert r >= 0.9, f"recall {r}"
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize (one->one, binary out) and frame-sample (one->many)
+    mapInPandas stages over the fake-decode seam."""
+    df = spark.read.parquet(f"{SF}/documents.parquet").limit(20) \
+        .select(F.col("doc_id").cast("string").alias("url"),
+                F.encode("text", "UTF-8").alias("html"))
+    rs = MM.resize_media(df, target=8).collect()
+    assert len(rs) == 20
+    for r in rs:
+        assert 1 <= r.width_px <= 8 and 1 <= r.height_px <= 8
+        assert len(r.pixels) == r.width_px * r.height_px
+    fr = MM.sample_video_frames(df, every_n=4, n_frames=16).collect()
+    by_url = {}
+    for r in fr:
+        by_url.setdefault(r.url, []).append(r.frame_idx)
+    assert len(by_url) == 20
+    for idxs in by_url.values():
+        assert sorted(idxs) == [0, 4, 8, 12]
