@@ -164,8 +164,10 @@ def q_dem_kerb_slope(spark, sf_dir):
          .agg(*[F.max(F.when(F.col("t") == tag, F.col("elev_m")))
                 .alias(tag)
                 for tag in ("e_e", "e_w", "e_n", "e_s")],
-              F.count(F.lit(1)).alias("_n"))
-         .filter(F.col("_n") == 4))   # inner-join-all-4 semantics
+              F.countDistinct("t").alias("_n"))
+         .filter(F.col("_n") == 4))   # inner-join-all-4 semantics:
+    # 4 DISTINCT directions present — a duplicate DEM cell row would
+    # otherwise let a 3-direction kerb through with a null neighbor
     slope = F.sqrt(F.pow((F.col("e_e") - F.col("e_w")) / (2 * cs), 2)
                    + F.pow((F.col("e_n") - F.col("e_s")) / (2 * cs), 2))
     return g.select("fid", (F.round(slope * 100, 4) + 0.0).alias("slope_pct"))
@@ -785,7 +787,15 @@ def q_kerbs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on order: the driver runs entries in dict order under a
+    # wall-clock budget. Round 2 recorded only the first 50 of 52 —
+    # exactly the two entries registered last — so the streaming
+    # queries now run FIRST (they are also the only ones with
+    # session-startup-like latency of their own).
     return {
+        "q_sessionize": q_sessionize,
+        "q_stream_dedup": q_stream_dedup,
+        "q_events_streaming": q_events_streaming,
         "q_assign_widths": q_assign_widths,
         "q_street_lengths": q_street_lengths,
         "q_clip_aoi": q_clip_aoi,
@@ -800,7 +810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": q_media_features,
         "q_geocode_pages": q_geocode_pages,
         "q_tags_flatten": q_tags_flatten,
-        "q_events_streaming": q_events_streaming,
         "q_exact_dedup_docs": q_exact_dedup_docs,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_minhash_pairs": q_minhash_pairs,
@@ -836,8 +845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interpolate": q_interpolate,
         "q_junction_angles": q_junction_angles,
         "q_embedding_dedup": q_embedding_dedup,
-        "q_sessionize": q_sessionize,
-        "q_stream_dedup": q_stream_dedup,
     }
 
 

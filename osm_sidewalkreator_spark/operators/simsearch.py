@@ -167,7 +167,8 @@ def lsh_recall_at_k(emb: DataFrame, k: int = 5, query_mod: int = 50,
 def embedding_neardup_dedup(emb: DataFrame, threshold: float = 0.35,
                             use_lsh: bool = False,
                             n_planes: int = 6, n_tables: int = 10,
-                            dim: int = 64) -> DataFrame:
+                            dim: int = 64,
+                            max_bucket: int = 4096) -> DataFrame:
     """Embedding-cosine near-duplicate removal: drop every vector that
     has a near-duplicate (cosine >= threshold) with a SMALLER vec_id —
     the deterministic keep-first rule of web-corpus dedup pipelines.
@@ -175,9 +176,12 @@ def embedding_neardup_dedup(emb: DataFrame, threshold: float = 0.35,
     use_lsh=False is the exact all-pairs baseline (the correctness
     oracle shape; block-nested-loop at scale). use_lsh=True draws
     candidate pairs from the multi-table hyperplane buckets of
-    ``cosine_topk_lsh`` — the 100 TB path: pair count is bounded per
-    bucket instead of N^2, at the cost of LSH recall (a missed pair
-    keeps a duplicate, never drops a non-duplicate).
+    ``cosine_topk_lsh`` — the 100 TB path: per-table buckets larger
+    than ``max_bucket`` are dropped (same hot-bucket guard as
+    cosine_topk_lsh — one dense bucket would otherwise still mint
+    O(bucket^2) pairs), so pair count is bounded at max_bucket^2 per
+    surviving bucket instead of N^2, at the cost of LSH recall (a
+    missed pair keeps a duplicate, never drops a non-duplicate).
 
     Cosine is rounded to 9 decimals before the threshold compare so an
     independent evaluator ranks borderline pairs identically.
@@ -198,6 +202,9 @@ def embedding_neardup_dedup(emb: DataFrame, threshold: float = 0.35,
                 F.lit(0), lambda a, b: a * 2 + b))
         banded = withsig.select("vec_id", F.posexplode(buckets)
                                 .alias("tbl", "bucket"))
+        wb = Window.partitionBy("tbl", "bucket")
+        banded = (banded.withColumn("_bn", F.count("*").over(wb))
+                  .filter(F.col("_bn") <= max_bucket).drop("_bn"))
         a = banded.select(F.col("vec_id").alias("ia"), "tbl", "bucket")
         b = banded.select(F.col("vec_id").alias("ib"), "tbl", "bucket")
         cand = (a.join(b, ["tbl", "bucket"])

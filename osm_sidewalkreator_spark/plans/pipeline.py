@@ -443,6 +443,16 @@ def load_context_tiled(spark: SparkSession, sf_dir: str,
             tile_size, pad=halo)))
 
 
+_CACHED: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist DataFrames cached by earlier generate_features calls
+    (their cogroup plans have run by the time a new one is built)."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
 def generate_features(spark: SparkSession, sf_dir: str,
                       tile_size: float = P.TILE_SIZE_M,
                       halo: float = P.TILE_HALO_M) -> DataFrame:
@@ -485,8 +495,13 @@ def generate_features(spark: SparkSession, sf_dir: str,
     if use_lpt:
         # census + kernel input share one computation of the clipped/
         # exploded segments (the census would otherwise re-run the
-        # whole upstream scan+clip+explode as a second pass)
+        # whole upstream scan+clip+explode as a second pass). The cache
+        # must outlive this call (the cogroup plan executes later), so
+        # release the PREVIOUS invocation's cache here instead — bench
+        # warm-up + timed runs would otherwise accumulate storage.
+        release_cached()
         tiled = tiled.persist()
+        _CACHED.append(tiled)
     mapping = _lpt_bucket_map(spark, tiled, n_part) if use_lpt else None
     if mapping is None:     # planet-sized tile census: hash placement
         return (tiled.repartition(n_part, "tile").groupBy("tile")

@@ -115,6 +115,15 @@ def run_tiled_job(spark: SparkSession, segs_tiled: DataFrame,
 
     fp_df = segs_tiled.groupBy("tile").agg(
         F.expr("bit_xor(xxhash64(osm_id, ax, ay, bx, by))").alias("fp"))
+    # The census is consumed twice (pending anti-join + the current
+    # tile work-list below); persist so the upstream scan runs once.
+    fp_df = fp_df.persist()
+    # Current work-list: a tile whose last segment DISAPPEARED from the
+    # input must not resurrect its stale committed output — the
+    # fingerprint anti-join only catches changed tiles, not deleted
+    # ones. Driver-side set is fine: the manifest itself is a
+    # driver-side JSONL of the same cardinality (tile census, bounded).
+    cur_tiles = {r["tile"] for r in fp_df.select("tile").collect()}
     done = man.committed()
     if done:
         man_df = spark.createDataFrame(
@@ -171,11 +180,13 @@ def run_tiled_job(spark: SparkSession, segs_tiled: DataFrame,
             lambda key, pdf: committing_kernel(key, pdf, empty_ctx),
             _SUMMARY_SCHEMA)
     summary.count()  # force execution; rows live executor-side only
+    fp_df.unpersist()
     man.compact_markers()
 
     done = man.committed()
-    paths = [r["path"] for r in done.values()
-             if r.get("path") and Path(r["path"]).exists()]
+    paths = [r["path"] for t, r in done.items()
+             if t in cur_tiles
+             and r.get("path") and Path(r["path"]).exists()]
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths).select(*out_cols)

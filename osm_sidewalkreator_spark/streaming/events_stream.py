@@ -73,8 +73,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str,
     semantics — an event landing exactly on the closing boundary opens
     a NEW session). Works identically as a batch aggregation (the
     oracle gate path) and as a watermarked stream (``streaming=True``
-    runs availableNow over the staged file source; sessions flush as
-    the watermark passes them).
+    runs availableNow over the staged file source).
+
+    The streaming path uses ``outputMode("complete")``, which retains
+    every session in state for the query's lifetime — correct and
+    bounded ONLY for the one-shot availableNow run used here (it is
+    what lets the bounded run emit sessions the final watermark has not
+    passed, matching the batch result exactly). A continuous production
+    stream must instead use ``outputMode("append")``, where the
+    watermark evicts closed sessions but sessions newer than the
+    watermark are withheld until it passes them.
     """
     if streaming:
         stage = Path(tempfile.gettempdir()) / "sidewalkreator_stream" \

@@ -193,6 +193,32 @@ def test_checkpoint_resume(spark, tmp_path):
     assert all(os.path.getmtime(p) == m for p, m in untouched.items())
 
 
+def test_checkpoint_deleted_tile_not_resurrected(spark, tmp_path):
+    """A tile whose segments vanish from the input must not keep its
+    stale committed output in the resumed result (the fingerprint
+    anti-join alone only catches CHANGED tiles, not deleted ones)."""
+    from osm_sidewalkreator_spark.operators.tiling import cover_cells
+    from osm_sidewalkreator_spark.streaming.checkpoint import run_tiled_job
+    streets = PL.assign_widths(
+        PL.clip_to_aoi(PL.load_streets(spark, SF), spark, SF))
+    segs = PL.street_segments_tm(streets)
+    tiled = segs.withColumn("tile", F.explode(cover_cells(
+        F.least("ax", "bx"), F.least("ay", "by"),
+        F.greatest("ax", "bx"), F.greatest("ay", "by"),
+        P.TILE_SIZE_M, pad=P.TILE_HALO_M)))
+    job_dir = tmp_path / "job_del"
+    k3 = PL.make_tile_kernel(P.TILE_SIZE_M)
+    out1 = run_tiled_job(spark, tiled, k3, PL.FEATURE_SCHEMA, str(job_dir))
+    tiles1 = {r["tile"] for r in out1.select("tile").distinct().collect()}
+    victim = min(tiles1)
+    shrunk = tiled.filter(F.col("tile") != victim)
+    out2 = run_tiled_job(spark, shrunk, k3, PL.FEATURE_SCHEMA,
+                         str(job_dir))
+    tiles2 = {r["tile"] for r in out2.select("tile").distinct().collect()}
+    assert victim not in tiles2
+    assert tiles2 == tiles1 - {victim}
+
+
 def test_tiled_job_matches_generate_features(spark, tmp_path):
     """The production launch path (run_tiled_job with real context) must
     produce exactly the feature set of the verified query path
