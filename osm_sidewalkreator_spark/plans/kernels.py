@@ -48,6 +48,40 @@ def endpoint_degrees(segs: np.ndarray, snap: float = noding.SNAP
     return deg[evi[:, 0]], deg[evi[:, 1]]
 
 
+def _endpoint_connected(cur: np.ndarray, tol: float
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-endpoint connectivity over one segment set: (start_hit (n,),
+    end_hit (n,)) — endpoint lies within ``tol`` of any OTHER segment.
+
+    Grid-hash candidate join (the reference's R-tree prefilter analog):
+    endpoints vs tol-expanded segment bboxes, then the exact pairwise
+    distance — O(n + candidates), no n^2 scan.
+    """
+    n = len(cur)
+    if n <= 1:
+        # a lone segment has no "other" to touch
+        z = np.zeros(n, dtype=bool)
+        return z, z.copy()
+    boxes = np.column_stack([
+        np.minimum(cur[:, 0], cur[:, 2]) - tol,
+        np.minimum(cur[:, 1], cur[:, 3]) - tol,
+        np.maximum(cur[:, 0], cur[:, 2]) + tol,
+        np.maximum(cur[:, 1], cur[:, 3]) + tol])
+    ext = np.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
+    bin_size = max(float(np.median(ext)), tol, 1e-9)
+    px = np.concatenate([cur[:, 0], cur[:, 2]])
+    py = np.concatenate([cur[:, 1], cur[:, 3]])
+    owner = np.tile(np.arange(n, dtype=np.int64), 2)
+    pi, bi = gridhash.join_points_to_boxes(px, py, boxes, bin_size)
+    m = bi != owner[pi]
+    pi, bi = pi[m], bi[m]
+    hit = np.zeros(2 * n, dtype=bool)
+    if len(pi):
+        d = core.point_segment_distance(px[pi], py[pi], cur[bi])
+        hit[pi[d <= tol]] = True
+    return hit[:n], hit[n:]
+
+
 def remove_dangles(segs: np.ndarray, attrs: np.ndarray | None = None,
                    tol: float = 1e-6, max_iter: int = 100):
     """Iteratively drop segments with an unconnected endpoint (G15,
@@ -60,34 +94,10 @@ def remove_dangles(segs: np.ndarray, attrs: np.ndarray | None = None,
     keep_idx = np.arange(len(segs))
     cur = np.asarray(segs, dtype=np.float64)
     for _ in range(max_iter):
-        n = len(cur)
-        if n == 0:
+        if len(cur) == 0:
             break
-        if n == 1:
-            # a lone segment has no "other" to touch -> dangle
-            cur, keep_idx = cur[:0], keep_idx[:0]
-            break
-        # Grid-hash candidate join (the reference's R-tree prefilter
-        # analog): endpoints vs tol-expanded segment bboxes, then the
-        # exact pairwise distance — O(n + candidates), no n^2 scan.
-        boxes = np.column_stack([
-            np.minimum(cur[:, 0], cur[:, 2]) - tol,
-            np.minimum(cur[:, 1], cur[:, 3]) - tol,
-            np.maximum(cur[:, 0], cur[:, 2]) + tol,
-            np.maximum(cur[:, 1], cur[:, 3]) + tol])
-        ext = np.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
-        bin_size = max(float(np.median(ext)), tol, 1e-9)
-        px = np.concatenate([cur[:, 0], cur[:, 2]])
-        py = np.concatenate([cur[:, 1], cur[:, 3]])
-        owner = np.tile(np.arange(n, dtype=np.int64), 2)
-        pi, bi = gridhash.join_points_to_boxes(px, py, boxes, bin_size)
-        m = bi != owner[pi]
-        pi, bi = pi[m], bi[m]
-        hit = np.zeros(2 * n, dtype=bool)
-        if len(pi):
-            d = core.point_segment_distance(px[pi], py[pi], cur[bi])
-            hit[pi[d <= tol]] = True
-        keep = hit[:n] & hit[n:]
+        hs, he = _endpoint_connected(cur, tol)
+        keep = hs & he
         if keep.all():
             break
         cur = cur[keep]
@@ -95,6 +105,77 @@ def remove_dangles(segs: np.ndarray, attrs: np.ndarray | None = None,
     if attrs is None:
         return cur, keep_idx
     return cur, np.asarray(attrs)[keep_idx]
+
+
+def _within_buffered_blocks(segs: np.ndarray, blocks: list[np.ndarray],
+                            buffer: float) -> np.ndarray:
+    """Segment-within-dissolved-buffered-protoblocks test (the reference
+    cul-de-sac checker geometry: dissolved protoblocks + 0.5 m buffer,
+    ``osm_sidewalkreator.py:774-786``). A test point is inside the
+    buffered union iff it is inside some block ring OR within ``buffer``
+    of its boundary; a segment is "within" when its endpoints and
+    midpoint all are (exact for convex faces, tight for street-block
+    faces whose concavities exceed segment length)."""
+    n = len(segs)
+    if n == 0 or not blocks:
+        return np.zeros(n, dtype=bool)
+    px = np.concatenate([segs[:, 0], segs[:, 2],
+                         (segs[:, 0] + segs[:, 2]) * 0.5])
+    py = np.concatenate([segs[:, 1], segs[:, 3],
+                         (segs[:, 1] + segs[:, 3]) * 0.5])
+    inside = np.zeros(3 * n, dtype=bool)
+    for blk in blocks:
+        todo = ~inside
+        if not todo.any():
+            break
+        tx, ty = px[todo], py[todo]
+        hit = core.points_in_ring(tx, ty, blk)
+        near = ~hit
+        if near.any():
+            edges = np.column_stack([blk, np.roll(blk, -1, axis=0)])
+            dmin = np.full(near.sum(), np.inf)
+            ex, ey = tx[near], ty[near]
+            for e in edges:
+                dmin = np.minimum(dmin, core.point_segment_distance(
+                    ex, ey, np.broadcast_to(e, (len(ex), 4))))
+            hit[near] = dmin <= buffer
+        inside[todo] |= hit
+    return inside[:n] & inside[n:2 * n] & inside[2 * n:]
+
+
+def dangle_keep_mask(segs: np.ndarray, blocks: list[np.ndarray],
+                     tol: float = 1e-6,
+                     buffer: float = P.PROTOBLOCKS_BUFFER,
+                     bounds: tuple | None = None) -> np.ndarray:
+    """Single-pass dead-end removal mask with the cul-de-sac exemption
+    (``remove_lines_from_no_block`` ``generic_functions.py:859-918``,
+    called at ``osm_sidewalkreator.py:803-810`` with the dissolved
+    A10-filtered protoblocks buffered 0.5 m; the GUI default
+    dead_end_iters == 0 is exactly one pass WITH the exemption).
+
+    ``bounds`` is the tile halo box: an endpoint lying on it is a cut
+    point where the street continues in a neighboring tile, so it counts
+    as connected (without this, tiling would invent dangles at every
+    halo edge and per-tile output would diverge from the global run).
+    """
+    n = len(segs)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    hs, he = _endpoint_connected(segs, tol)
+    if bounds is not None:
+        x0, y0, x1, y1 = bounds
+
+        def on_edge(qx, qy):
+            return ((np.abs(qx - x0) <= tol) | (np.abs(qx - x1) <= tol)
+                    | (np.abs(qy - y0) <= tol) | (np.abs(qy - y1) <= tol))
+
+        hs = hs | on_edge(segs[:, 0], segs[:, 1])
+        he = he | on_edge(segs[:, 2], segs[:, 3])
+    keep = hs & he
+    if not keep.all():
+        exempt = _within_buffered_blocks(segs[~keep], blocks, buffer)
+        keep[np.flatnonzero(~keep)[exempt]] = True
+    return keep
 
 
 def filter_protoblocks_by_existing_sidewalks(
@@ -875,7 +956,9 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
                   pois: np.ndarray | None = None,
                   way_ids: np.ndarray | None = None,
                   existing_sw: tuple | None = None,
-                  refine_lines: bool = True) -> dict:
+                  refine_lines: bool = True,
+                  bounds: tuple | None = None,
+                  remove_dead_ends: bool = True) -> dict:
     """Full geometry pipeline for one tile's street segments (local TM).
 
     ``sidewalk_tags``: optional dict of per-input-segment string arrays
@@ -885,10 +968,14 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
     (m,2) POI points for per-block Voronoi splitting (G11).
 
     Stage order follows the reference lifecycle (SURVEY.md §3.1-3.2):
-    width shrink -> split -> protoblocks -> buffer/close/rings ->
-    exclusion difference -> protoblock filter -> crossings/kerbs ->
-    snap -> corner + Voronoi splitting -> vertex dedup -> small-stretch
-    merge.
+    width shrink -> split -> protoblocks -> A10 filter -> dead-end
+    removal (G15, cul-de-sac exemption vs the filtered blocks +0.5 m)
+    -> buffer/close/rings -> exclusion difference -> protoblock filter
+    -> crossings/kerbs -> snap -> corner + Voronoi splitting -> vertex
+    dedup -> small-stretch merge.
+
+    ``bounds`` (tile halo box) marks halo-cut endpoints as connected so
+    per-tile dead-end classification matches the global run.
 
     Returns dict with protoblock rings, sidewalk polylines, crossings,
     kerbs, and the zone polygon lists.
@@ -904,6 +991,15 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
     if existing_sw is not None:
         blocks = filter_protoblocks_by_existing_sidewalks(
             blocks, existing_sw[0], existing_sw[1], existing_sw[2])
+    # G15: the reference deletes dead-end stubs BEFORE drawing sidewalks
+    # (osm_sidewalkreator.py:803-810), so stubs get no rings/crossings;
+    # cul-de-sacs inside the (A10-filtered) block area stay
+    if remove_dead_ends and len(noded):
+        dk = dangle_keep_mask(noded, blocks, bounds=bounds)
+        if not dk.all():
+            noded, w = noded[dk], w[dk]
+            if noded_ways is not None:
+                noded_ways = noded_ways[dk]
     sw_rings, _ext = sidewalk_rings(noded, w)
 
     # G24: keep rings intersecting the protoblock area (+0.5 m buffer in

@@ -319,7 +319,7 @@ def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
         out = kernels.tile_pipeline(
             segs, widths, tags or None, building_segs=building_segs,
             pois=pois, way_ids=pdf["osm_id"].to_numpy(dtype=object),
-            existing_sw=existing_sw)
+            existing_sw=existing_sw, bounds=hbox)
         rows = []
 
         def emit(kind, fid, geom, length, area, ref_id, cx, cy,

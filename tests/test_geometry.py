@@ -302,3 +302,44 @@ def _seg_intersect_params(s1, s2):
     t = (e[0] * d2[1] - e[1] * d2[0]) / den
     u = (e[0] * d1[1] - e[1] * d1[0]) / den
     return t, u
+
+
+def test_pipeline_dead_end_removal(city):
+    """G15 wired: a dead-end stub outside the block area gets NO
+    sidewalk treatment (reference deletes it before drawing,
+    osm_sidewalkreator.py:803-810), while a cul-de-sac inside the
+    buffered block area is exempt (generic_functions.py:859-918)."""
+    segs, widths = city
+    # stub sticking outward from grid edge vertex (500, 200)
+    ext = np.vstack([segs, [[500.0, 200.0, 560.0, 200.0]]])
+    extw = np.append(widths, 6.0)
+    out = kernels.tile_pipeline(ext, extw, refine_lines=False)
+    base = kernels.tile_pipeline(segs, widths, refine_lines=False)
+    assert len(out["sidewalks"]) == len(base["sidewalks"])
+    assert not (out["noded"][:, [0, 2]] > 500.0 + 1e-6).any()
+    # same stub with the halo box cutting it: endpoint ON the halo edge
+    # counts as connected (the street continues in the next tile)
+    outh = kernels.tile_pipeline(ext, extw, refine_lines=False,
+                                 bounds=(0.0, 0.0, 560.0, 500.0))
+    assert (outh["noded"][:, [0, 2]] > 500.0 + 1e-6).any()
+    # cul-de-sac: dead end INSIDE a block -> exempt, stays in network
+    ind = np.vstack([segs, [[100.0, 150.0, 150.0, 150.0]]])
+    inw = np.append(widths, 6.0)
+    out2 = kernels.tile_pipeline(ind, inw, refine_lines=False)
+    has_culdesac = np.any(
+        (np.abs(out2["noded"][:, 2] - 150.0) < 1e-9)
+        & (np.abs(out2["noded"][:, 3] - 150.0) < 1e-9))
+    assert has_culdesac
+
+
+def test_dangle_keep_mask_single_pass(city):
+    """One pass only (GUI default dead_end_iters == 0): a two-segment
+    chain whose tip is a dangle loses the TIP, and the now-exposed
+    middle segment survives this pass (the reference would need
+    iters >= 2 to remove both)."""
+    segs, widths = city
+    chain = np.vstack([segs, [[500.0, 200.0, 560.0, 200.0],
+                              [560.0, 200.0, 620.0, 200.0]]])
+    keep = kernels.dangle_keep_mask(chain, blocks=[])
+    assert not keep[-1]          # tip removed
+    assert keep[-2]              # attached piece survives single pass
