@@ -368,6 +368,17 @@ def q_embedding_dedup(spark, sf_dir):
         .select("vec_id", "label")
 
 
+def q_embedding_dedup_lsh(spark, sf_dir):
+    """Scale path of the embedding dedup: candidate pairs from the
+    multi-table hyperplane buckets (hot-bucket capped) instead of the
+    all-pairs crossJoin. Rows-only by design (LSH recall is seeded-hash
+    dependent); the keep-superset property vs the exact path is pinned
+    in tests/test_spark_ops.py::test_embedding_neardup_lsh_subset."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SS.embedding_neardup_dedup(emb, threshold=0.35, use_lsh=True) \
+        .select("vec_id", "label")
+
+
 def q_junction_angles(spark, sf_dir):
     """P14/P15 direction vectors + angle-between (core
     angle_between_three_points semantics, generic_functions.py corner
@@ -845,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interpolate": q_interpolate,
         "q_junction_angles": q_junction_angles,
         "q_embedding_dedup": q_embedding_dedup,
+        "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
     }
 
 

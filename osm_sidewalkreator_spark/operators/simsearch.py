@@ -89,7 +89,8 @@ def _plane_weight_matrix(spark, n_seeds: int, dim: int) -> list:
 
 def cosine_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50,
                     n_planes: int = 6, n_tables: int = 10,
-                    dim: int = 64, max_bucket: int = 4096) -> DataFrame:
+                    dim: int = 64, max_bucket: int = 4096,
+                    probe_hamming: int = 1) -> DataFrame:
     """Multi-table LSH approximate top-k: ``n_tables`` independent
     random-hyperplane signatures of ``n_planes`` bits each -> one
     (table, bucket) equi-join -> candidate-pair dedup -> exact cosine ->
@@ -99,14 +100,30 @@ def cosine_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50,
     ~N^2/2^planes with hot-bucket skew):
 
     - candidates come from the union of L tables, so recall is
-      1-(1-p^b)^L per neighbor instead of p^b — measured >= 0.9 @ k=5
-      on the driver embeddings (bench reports ``lsh_recall_at_k``);
+      1-(1-P)^L per neighbor instead of P per table;
+    - ``probe_hamming=1`` turns on QUERY-SIDE multi-probe: each query
+      also probes the n_planes buckets one bit-flip away (query side
+      is the 1/query_mod subset, so the fan-out multiplies the small
+      side of the join only), raising the per-table hit probability
+      from p^b to p^b + b*p^(b-1)*(1-p);
     - buckets larger than ``max_bucket`` are dropped per table (a
       dense-cluster guard: the pair blowup of one megabucket is capped
       at max_bucket^2 while its members stay reachable through their
       other L-1 tables);
     - the expensive array math runs once per DISTINCT candidate pair,
       after an id-only dedup, not once per (table, pair).
+
+    Measured recall@5 (``lsh_recall_at_k``; the bench reports it as
+    counter ``lsh_recall_at_5``): the driver embeddings are NEAR-
+    UNIFORM (true top-5 cosines only 0.27-0.45, barely above the
+    ~0 of random pairs), the adversarial regime for any ANN index —
+    bucketing alone (probe_hamming=0) measures 0.47 there, and the
+    default hamming-1 multi-probe raises it to 0.96 at the cost of a
+    large candidate fraction (on a corpus this uniform, ANY >=0.9
+    recall method must inspect most pairs; that is a property of the
+    data, not the index). On a clustered corpus (the realistic
+    deployment, pinned in tests/test_spark_ops.py) recall is >= 0.9
+    even without multi-probe, with a small candidate fraction.
     """
     e = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
@@ -137,6 +154,16 @@ def cosine_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50,
               .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     qb = (banded.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0)
           .select(F.col("vec_id").alias("query_id"), "tbl", "bucket"))
+    if probe_hamming >= 1:
+        # query-side multi-probe: own bucket + every 1-bit flip. The
+        # XOR explode runs on the query subset only; the big data side
+        # keeps exactly one (tbl, bucket) row per table.
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+              for j in range(n_planes)])
+        qb = qb.select("query_id", "tbl",
+                       F.explode(probes).alias("bucket"))
     cand = (qb.join(banded, ["tbl", "bucket"])
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id").distinct())
