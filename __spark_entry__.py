@@ -368,6 +368,104 @@ def q_embedding_dedup(spark, sf_dir):
         .select("vec_id", "label")
 
 
+def q_crossing_geometry(spark, sf_dir):
+    """Exact oracle for the engine's CROSSING COORDINATES on the pure
+    lattice sub-network (J10/G18 non-enlargement path,
+    full_sidewalkreator_bbox_algorithm.py:833-924).
+
+    Scenario: the axis-aligned 2-vertex grid streets only (diagonals,
+    stubs, loops excluded on both sides). There the whole construction
+    is closed-form: noding is the identity, every block ring is a
+    rectangle inset by w/2 + d_to_add/2 per side with radius-3 corner
+    arcs that the ray (at d_interp = mw/2 + curve + d_to_add from the
+    junction, mw >= the corner street's width) always clears, so
+    A/E land on the straight flank at +-(w_self/2 + 0.5), kerbs at 25%,
+    length = w_self + 1. The REAL tile kernel computes the crossings
+    (ray x ring-edge intersection against the real buffered rings); the
+    oracle recomputes every coordinate independently in SQL. Restricted
+    to crossings with both flanking blocks present and a >0.25 m ray
+    margin (half_span > offset), identically on both sides.
+    """
+    import numpy as np
+    import pandas as pd
+    from osm_sidewalkreator_spark.plans import kernels
+
+    st = PL.assign_widths(
+        PL.load_streets(spark, sf_dir).filter(F.col("n_vertices") == 2))
+    lat = st.filter((F.col("x1") == F.col("x2"))
+                    | (F.col("y1") == F.col("y2"))) \
+        .select("osm_id", "x1", "y1", "x2", "y2", "width_m")
+
+    cols = ["cx_mm", "cy_mm", "pax_mm", "pay_mm", "pbx_mm", "pby_mm",
+            "pdx_mm", "pdy_mm", "pex_mm", "pey_mm", "len_mm"]
+    schema = ", ".join(f"{c} long" for c in cols)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("osm_id")
+        segs = pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+        w = pdf["width_m"].to_numpy(np.float64)
+        out = kernels.tile_pipeline(
+            segs, w, refine_lines=False,
+            way_ids=pdf["osm_id"].to_numpy(dtype=object))
+        rows = []
+        for c in out["crossings"]:
+            co = c["coords"]          # A B C D E
+            vals = [co[2, 0], co[2, 1], co[0, 0], co[0, 1],
+                    co[1, 0], co[1, 1], co[3, 0], co[3, 1],
+                    co[4, 0], co[4, 1], c["length"]]
+            rows.append([int(round(v * 1000)) for v in vals])
+        return pd.DataFrame(rows, columns=cols)
+
+    # single global group: a correctness scenario at gate scale (the
+    # scale path for crossings is generate_features' tiled cogroup)
+    cross = (lat.withColumn("_g", F.lit(0)).groupBy("_g")
+             .applyInPandas(run, schema))
+
+    # expected (non-marginal, both-blocks-present) crossing centers,
+    # computed in DataFrame algebra independent of the kernel
+    ded = (lat.groupBy("x1", "y1", "x2", "y2")
+           .agg(F.min("osm_id").alias("osm_id"),
+                F.max("width_m").alias("w")))
+    e1 = ded.select("osm_id", F.col("x1").alias("px"),
+                    F.col("y1").alias("py"), F.col("x2").alias("qx"),
+                    F.col("y2").alias("qy"), "w")
+    e2 = ded.select("osm_id", F.col("x2").alias("px"),
+                    F.col("y2").alias("py"), F.col("x1").alias("qx"),
+                    F.col("y1").alias("qy"), "w")
+    eps = e1.unionByName(e2)
+    other = eps.select(F.col("px").alias("ox"), F.col("py").alias("oy"),
+                       F.col("w").alias("wo"),
+                       F.col("osm_id").alias("oid"))
+    mx = (eps.join(other, (F.col("px") == F.col("ox"))
+                   & (F.col("py") == F.col("oy"))
+                   & (F.col("osm_id") != F.col("oid")))
+          .groupBy("osm_id", "px", "py", "qx", "qy", "w")
+          .agg(F.max("wo").alias("mw")))
+    ext = lat.agg(
+        F.min(F.least("x1", "x2")).alias("xmin"),
+        F.max(F.greatest("x1", "x2")).alias("xmax"),
+        F.min(F.least("y1", "y2")).alias("ymin"),
+        F.max(F.greatest("y1", "y2")).alias("ymax"))
+    cand = (mx.crossJoin(F.broadcast(ext))
+            .withColumn("ux", F.signum(F.col("qx") - F.col("px")))
+            .withColumn("uy", F.signum(F.col("qy") - F.col("py")))
+            .withColumn("di", F.col("mw") / 2 + P.DEFAULT_CURVE_RADIUS
+                        + P.D_TO_ADD_TO_EACH_SIDE)
+            .filter(F.col("mw") / 2 + P.DEFAULT_CURVE_RADIUS
+                    + P.D_TO_ADD_TO_EACH_SIDE + 0.5
+                    > F.col("w") / 2 + 0.75)
+            .filter(((F.col("ux") != 0) & (F.col("py") > F.col("ymin"))
+                     & (F.col("py") < F.col("ymax")))
+                    | ((F.col("uy") != 0) & (F.col("px") > F.col("xmin"))
+                       & (F.col("px") < F.col("xmax")))))
+    expected = cand.select(
+        F.round((F.col("px") + F.col("ux") * F.col("di")) * 1000)
+         .cast("long").alias("cx_mm"),
+        F.round((F.col("py") + F.col("uy") * F.col("di")) * 1000)
+         .cast("long").alias("cy_mm"))
+    return cross.join(expected, ["cx_mm", "cy_mm"])
+
+
 def q_embedding_dedup_lsh(spark, sf_dir):
     """Scale path of the embedding dedup: candidate pairs from the
     multi-table hyperplane buckets (hot-bucket capped) instead of the
@@ -857,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_junction_angles": q_junction_angles,
         "q_embedding_dedup": q_embedding_dedup,
         "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "q_crossing_geometry": q_crossing_geometry,
     }
 
 
@@ -1422,6 +1521,67 @@ def oracle_sql() -> dict[str, str]:
             FROM eps LEFT JOIN mx
               ON eps.osm_id = mx.osm_id AND eps.px = mx.px
              AND eps.py = mx.py
+        """,
+        "q_crossing_geometry": f"""
+            WITH w AS (SELECT osm_id, x1, y1, x2, y2,
+                         CASE WHEN TRY_CAST(width AS DOUBLE) > 0
+                              THEN TRY_CAST(width AS DOUBLE)
+                              ELSE {wc} END AS width_m
+                       FROM {streets}
+                       WHERE n_vertices = 2 AND (x1 = x2 OR y1 = y2)
+                         AND CASE WHEN TRY_CAST(width AS DOUBLE) > 0
+                                  THEN TRY_CAST(width AS DOUBLE)
+                                  ELSE {wc} END >= 0.5),
+                 d AS (SELECT min(osm_id) AS osm_id, x1, y1, x2, y2,
+                              max(width_m) AS w
+                       FROM w GROUP BY x1, y1, x2, y2),
+                 ext AS (SELECT min(least(x1, x2)) AS xmin,
+                                max(greatest(x1, x2)) AS xmax,
+                                min(least(y1, y2)) AS ymin,
+                                max(greatest(y1, y2)) AS ymax
+                         FROM w),
+                 eps AS (SELECT osm_id, x1 AS px, y1 AS py,
+                                x2 AS qx, y2 AS qy, w FROM d
+                         UNION ALL
+                         SELECT osm_id, x2, y2, x1, y1, w FROM d),
+                 mx AS (SELECT a.osm_id, a.px, a.py, a.qx, a.qy, a.w,
+                               max(b.w) AS mw
+                        FROM eps a JOIN eps b
+                          ON a.px = b.px AND a.py = b.py
+                         AND a.osm_id <> b.osm_id
+                        GROUP BY a.osm_id, a.px, a.py, a.qx, a.qy, a.w),
+                 c AS (SELECT *,
+                              sign(qx - px) AS ux, sign(qy - py) AS uy,
+                              mw / 2 + 4.0 AS di,
+                              w / 2 + 0.5 AS off
+                       FROM mx),
+                 f AS (SELECT c.* FROM c, ext
+                       WHERE mw / 2 + 4.5 > w / 2 + 0.75
+                         AND ((ux <> 0 AND py > ymin AND py < ymax)
+                           OR (uy <> 0 AND px > xmin AND px < xmax))),
+                 g AS (SELECT px + ux * di AS cx, py + uy * di AS cy,
+                              uy AS adx, -ux AS ady, off
+                       FROM f)
+            SELECT CAST(round(cx * 1000) AS BIGINT) AS cx_mm,
+                   CAST(round(cy * 1000) AS BIGINT) AS cy_mm,
+                   CAST(round((cx + adx * off) * 1000) AS BIGINT)
+                     AS pax_mm,
+                   CAST(round((cy + ady * off) * 1000) AS BIGINT)
+                     AS pay_mm,
+                   CAST(round((cx + adx * off * 0.75) * 1000) AS BIGINT)
+                     AS pbx_mm,
+                   CAST(round((cy + ady * off * 0.75) * 1000) AS BIGINT)
+                     AS pby_mm,
+                   CAST(round((cx - adx * off * 0.75) * 1000) AS BIGINT)
+                     AS pdx_mm,
+                   CAST(round((cy - ady * off * 0.75) * 1000) AS BIGINT)
+                     AS pdy_mm,
+                   CAST(round((cx - adx * off) * 1000) AS BIGINT)
+                     AS pex_mm,
+                   CAST(round((cy - ady * off) * 1000) AS BIGINT)
+                     AS pey_mm,
+                   CAST(round(2 * off * 1000) AS BIGINT) AS len_mm
+            FROM g
         """,
         "q_dedup_canonical": f"""
             WITH s AS (SELECT osm_id, x1, y1, x2, y2 FROM {streets}

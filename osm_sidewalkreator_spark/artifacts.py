@@ -25,7 +25,7 @@ def ensure_features(spark: SparkSession, sf_dir: str) -> Path:
     - ``kerbs_xy.parquet``: kerb points + owning crossing
     """
     synth = ensure_synth(sf_dir)
-    marker = synth / "_FEATURES_OK_v3"  # v3: crossing quality attrs
+    marker = synth / "_FEATURES_OK_v4"  # v4: G15 dangle removal wired
     if marker.exists():
         return synth
     feats = PL.generate_features(spark, sf_dir)
