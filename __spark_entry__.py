@@ -368,6 +368,68 @@ def q_embedding_dedup(spark, sf_dir):
         .select("vec_id", "label")
 
 
+def _poly_overlay_fixture(spark):
+    """A-layer for the polygon x polygon overlay oracle: one CONCAVE
+    L-shape and one rectangle, off-lattice by 0.1 m (1-decimal offsets
+    keep every closed-form area*100 an exact integer)."""
+    import numpy as np
+    from osm_sidewalkreator_spark.geometry import wkb as WKB
+    x0, y0 = -380.1, -380.3
+    L = np.array([[x0, y0], [x0 + 600, y0], [x0 + 600, y0 + 190],
+                  [x0 + 190, y0 + 190], [x0 + 190, y0 + 500],
+                  [x0, y0 + 500], [x0, y0]])
+    r0, r1 = 37.4, -141.5
+    R = np.array([[r0, r1], [r0 + 250, r1], [r0 + 250, r1 + 120],
+                  [r0, r1 + 120], [r0, r1]])
+    rows = [(1, x0, y0, x0 + 600, y0 + 500,
+             bytearray(WKB.polygon_wkb(L))),
+            (2, r0, r1, r0 + 250, r1 + 120,
+             bytearray(WKB.polygon_wkb(R)))]
+    return spark.createDataFrame(
+        rows, "a_id long, xmin double, ymin double, "
+              "xmax double, ymax double, geometry binary")
+
+
+def q_overlay_poly_poly(spark, sf_dir):
+    """J2/J3 generic polygon x polygon overlay (native:intersection /
+    native:difference on polygon layers, generic_functions.py:124-143;
+    polygon difference used directly at osm_sidewalkreator.py:1921-1926).
+
+    Intersection: concave L + rect vs ALL ground-truth blocks, one row
+    per (a, block) with ring count and 0.01-m^2 fixed-point area.
+    Difference: same A-layer minus the UNION of the checkerboard block
+    subset (disjoint, corner-touching — exercises the union clip), area
+    per A feature. The oracle recomputes both from the rectangle
+    decomposition of the L."""
+    from osm_sidewalkreator_spark.operators.overlay import (
+        polygon_overlay_polygons)
+    blocks = _synth(spark, sf_dir, "blocks")
+    a = _poly_overlay_fixture(spark)
+    inter = polygon_overlay_polygons(a, blocks, op="intersection",
+                                     a_id="a_id", b_id="block_id")
+    inter_rows = (inter.groupBy("a_id", "block_id")
+                  .agg(F.count("*").alias("n_rings"),
+                       F.sum("area").alias("_a"))
+                  .select(F.lit("intersection").alias("op"),
+                          "a_id", F.col("block_id").alias("b_id"),
+                          "n_rings",
+                          F.round(F.col("_a") * 100).cast("long")
+                          .alias("area_q")))
+    cb = blocks.filter(
+        (((F.col("xmin") + 550) / 100).cast("long")
+         + ((F.col("ymin") + 550) / 100).cast("long")) % 2 == 0)
+    diff = polygon_overlay_polygons(a, cb, op="difference",
+                                    a_id="a_id", b_id="block_id")
+    diff_rows = (diff.groupBy("a_id")
+                 .agg(F.sum("area").alias("_a"))
+                 .select(F.lit("difference").alias("op"), "a_id",
+                         F.lit(-1).cast("long").alias("b_id"),
+                         F.lit(-1).cast("long").alias("n_rings"),
+                         F.round(F.col("_a") * 100).cast("long")
+                         .alias("area_q")))
+    return inter_rows.unionByName(diff_rows)
+
+
 def q_crossing_geometry(spark, sf_dir):
     """Exact oracle for the engine's CROSSING COORDINATES on the pure
     lattice sub-network (J10/G18 non-enlargement path,
@@ -956,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dedup": q_embedding_dedup,
         "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
         "q_crossing_geometry": q_crossing_geometry,
+        "q_overlay_poly_poly": q_overlay_poly_poly,
     }
 
 
@@ -1521,6 +1584,54 @@ def oracle_sql() -> dict[str, str]:
             FROM eps LEFT JOIN mx
               ON eps.osm_id = mx.osm_id AND eps.px = mx.px
              AND eps.py = mx.py
+        """,
+        "q_overlay_poly_poly": f"""
+            WITH ap AS (SELECT * FROM (VALUES
+                     -- disjoint rectangle decomposition of the L (a=1)
+                     (1, -380.1, -380.3, -380.1 + 600, -380.3 + 190),
+                     (1, -380.1, -380.3 + 190, -380.1 + 190,
+                      -380.3 + 500),
+                     (2, 37.4, -141.5, 37.4 + 250, -141.5 + 120))
+                   AS v(a_id, pxmin, pymin, pxmax, pymax)),
+                 b AS (SELECT block_id, xmin, ymin, xmax, ymax
+                       FROM {blocks}),
+                 ov AS (SELECT a_id, block_id,
+                               greatest(0.0, least(pxmax, xmax)
+                                        - greatest(pxmin, xmin))
+                             * greatest(0.0, least(pymax, ymax)
+                                        - greatest(pymin, ymin)) AS ar
+                        FROM ap, b),
+                 inter AS (SELECT a_id, block_id, sum(ar) AS area
+                           FROM ov GROUP BY a_id, block_id
+                           HAVING sum(ar) > 0),
+                 cb AS (SELECT * FROM b
+                        WHERE (CAST((xmin + 550) / 100 AS BIGINT)
+                             + CAST((ymin + 550) / 100 AS BIGINT))
+                              % 2 = 0),
+                 ovc AS (SELECT a_id,
+                                greatest(0.0, least(pxmax, xmax)
+                                         - greatest(pxmin, xmin))
+                              * greatest(0.0, least(pymax, ymax)
+                                         - greatest(pymin, ymin)) AS ar
+                         FROM ap, cb),
+                 atot AS (SELECT a_id,
+                                 sum((pxmax - pxmin) * (pymax - pymin))
+                                   AS area
+                          FROM ap GROUP BY a_id),
+                 dtot AS (SELECT a.a_id, a.area
+                              - coalesce((SELECT sum(ar) FROM ovc
+                                          WHERE ovc.a_id = a.a_id), 0)
+                              AS area
+                          FROM atot a)
+            SELECT 'intersection' AS op, a_id, block_id AS b_id,
+                   CAST(1 AS BIGINT) AS n_rings,
+                   CAST(round(area * 100) AS BIGINT) AS area_q
+            FROM inter
+            UNION ALL
+            SELECT 'difference', a_id, CAST(-1 AS BIGINT),
+                   CAST(-1 AS BIGINT),
+                   CAST(round(area * 100) AS BIGINT)
+            FROM dtot
         """,
         "q_crossing_geometry": f"""
             WITH w AS (SELECT osm_id, x1, y1, x2, y2,

@@ -353,3 +353,37 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert len(by_url) == 20
     for idxs in by_url.values():
         assert sorted(idxs) == [0, 4, 8, 12]
+
+
+def test_polygon_overlay_overlapping_union(spark):
+    """polygon_overlay_polygons difference subtracts the UNION of
+    overlapping B polygons (inclusion-exclusion truth), and
+    intersection recovers each pair's area, concave A included."""
+    from osm_sidewalkreator_spark.geometry import wkb as WKB
+    from osm_sidewalkreator_spark.operators.overlay import (
+        polygon_overlay_polygons)
+
+    def poly_row(pid, x0, y0, wdt, hgt):
+        ring = np.array([[x0, y0], [x0 + wdt, y0], [x0 + wdt, y0 + hgt],
+                         [x0, y0 + hgt], [x0, y0]])
+        return (pid, float(x0), float(y0), float(x0 + wdt),
+                float(y0 + hgt), bytearray(WKB.polygon_wkb(ring)))
+
+    schema = ("a_id long, xmin double, ymin double, xmax double, "
+              "ymax double, geometry binary")
+    a = spark.createDataFrame([poly_row(1, 0.3, 0.7, 100, 80)], schema)
+    # two OVERLAPPING rects inside A: 40x30 and 40x30 overlapping 20x10
+    b = spark.createDataFrame(
+        [poly_row(10, 10.5, 20.9, 40, 30), poly_row(11, 30.5, 40.9, 40, 30)],
+        schema.replace("a_id", "b_id"))
+    union_b = 40 * 30 + 40 * 30 - 20 * 10
+    diff = polygon_overlay_polygons(a, b, op="difference",
+                                    a_id="a_id", b_id="b_id")
+    got = diff.agg(F.sum("area")).collect()[0][0]
+    assert abs(got - (100 * 80 - union_b)) < 1e-3
+    inter = polygon_overlay_polygons(a, b, op="intersection",
+                                     a_id="a_id", b_id="b_id")
+    per = {r["b_id"]: r["area"] for r in
+           inter.groupBy("b_id").agg(F.sum("area").alias("area"))
+           .collect()}
+    assert abs(per[10] - 1200) < 1e-3 and abs(per[11] - 1200) < 1e-3
