@@ -343,3 +343,61 @@ def test_dangle_keep_mask_single_pass(city):
     keep = kernels.dangle_keep_mask(chain, blocks=[])
     assert not keep[-1]          # tip removed
     assert keep[-2]              # attached piece survives single pass
+
+
+def test_buffer_boundary_intersections_g16():
+    """G16: circle boundary around a point x line layer -> hit points
+    (points_intersecting_buffer_boundary semantics)."""
+    segs = np.array([[-5.0, 0.0, 5.0, 0.0],    # through center
+                     [-5.0, 10.0, 5.0, 10.0]])  # far away
+    pts = kernels.buffer_boundary_intersections(
+        np.array([0.0, 0.0]), segs, buffersize=2.0, nseg=32)
+    assert len(pts) == 2
+    # hits on the polygonal circle at radius ~2 on the x axis
+    assert np.allclose(np.abs(pts[:, 0]), 2.0, atol=0.01)
+    assert np.allclose(pts[:, 1], 0.0, atol=1e-9)
+
+
+def test_incidence_radial_segments_g17():
+    """G17: points within buffer_d of a line spawn centroid->point
+    spokes extended buffer_d past the point, crossing the line."""
+    line = np.array([[0.0, 0.0], [10.0, 0.0]])
+    points = np.array([[5.0, 0.5],     # inside buffer
+                       [5.0, 5.0]])    # outside
+    spokes = kernels.incidence_radial_segments(line, points,
+                                               buffer_d=1.0)
+    assert spokes.shape == (1, 4)
+    sx, sy, ex, ey = spokes[0]
+    # starts at buffer centroid (midpoint of the straight line's buffer)
+    assert abs(sx - 5.0) < 0.05 and abs(sy) < 0.05
+    # extends buffer_d past the point along the centroid->point ray
+    v = np.hypot(ex - sx, ey - sy)
+    d = np.hypot(5.0 - sx, 0.5 - sy)
+    assert abs(v - (d + 1.0)) < 1e-9
+    # the spoke intersects the segment (the straight line's buffer
+    # centroid sits ON the line, so t = 0 up to float noise)
+    t, u = _seg_intersect_params(np.array([sx, sy, ex, ey]),
+                                 np.array([0.0, 0.0, 10.0, 0.0]))
+    assert t is not None and 0 <= u <= 1 and -1e-9 <= t <= 1
+
+
+def test_pipeline_max_split_len_g12():
+    """G12 wired behind the pipeline flag: no sidewalk line exceeds the
+    max length and total length is conserved."""
+    k, s = 3, 100.0
+    segs, widths = [], []
+    for i in range(k):
+        for j in range(k - 1):
+            segs.append([j * s, i * s, (j + 1) * s, i * s])
+            widths.append(6.0)
+            segs.append([i * s, j * s, i * s, (j + 1) * s])
+            widths.append(6.0)
+    segs, widths = np.array(segs, float), np.array(widths)
+    base = kernels.tile_pipeline(segs, widths)
+    split = kernels.tile_pipeline(segs, widths, max_split_len=20.0)
+    lb = sum(core.polyline_length(l) for l in base["sidewalks"])
+    ls = sum(core.polyline_length(l) for l in split["sidewalks"])
+    assert abs(lb - ls) / lb < 1e-9
+    assert max(core.polyline_length(l)
+               for l in split["sidewalks"]) <= 20.0 * 1.02
+    assert len(split["sidewalks"]) > len(base["sidewalks"])
