@@ -368,6 +368,31 @@ def q_embedding_dedup(spark, sf_dir):
         .select("vec_id", "label")
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + domain extraction (web-pipeline dedup
+    key; pure JVM column algebra). Deterministic messy variants are
+    built from each page's number (case, www., default/explicit ports,
+    trailing slashes, fragments, query strings), then canonicalized;
+    the oracle reproduces both steps in SQL."""
+    pg = load_pages(spark, sf_dir).select("url")
+    host0 = F.regexp_extract("url", r"^https://([^/]*)", 1)
+    path0 = F.regexp_extract("url", r"^https://[^/]*(/.*)$", 1)
+    n = F.pmod(F.regexp_extract("url", r"/p/([0-9]+)$", 1)
+               .cast("long"), F.lit(5))
+    messy = (F.when(n == 0, F.concat(F.lit("HTTPS://WWW."), host0,
+                                     F.lit(":443"), path0, F.lit("#x")))
+             .when(n == 1, F.concat(F.lit("https://"), host0, path0,
+                                    F.lit("///")))
+             .when(n == 2, F.concat(F.lit("http://"), F.upper(host0),
+                                    F.lit(":80"), path0,
+                                    F.lit("?b=2&a=1")))
+             .when(n == 3, F.col("url"))
+             .otherwise(F.concat(F.lit("https://"), host0,
+                                 F.lit(":8443"), path0)))
+    canon, domain = TX.canonicalize_url(messy)
+    return pg.select("url", messy.alias("messy_url"), canon, domain)
+
+
 def _poly_overlay_fixture(spark):
     """A-layer for the polygon x polygon overlay oracle: one CONCAVE
     L-shape and one rectangle, off-lattice by 0.1 m (1-decimal offsets
@@ -526,6 +551,46 @@ def q_crossing_geometry(spark, sf_dir):
         F.round((F.col("py") + F.col("uy") * F.col("di")) * 1000)
          .cast("long").alias("cy_mm"))
     return cross.join(expected, ["cx_mm", "cy_mm"])
+
+
+def q_ring_bbox(spark, sf_dir):
+    """Exact oracle for SIDEWALK RING placement on the pure lattice
+    sub-network (G1-G4 buffer/close/donut path,
+    sidewalk_generation_logic.py:292-430): each block's ring is a
+    rectangle inset by that side's street half-width + d_to_add/2 with
+    radius-3 corner arcs curving INWARD, so the ring's bbox equals the
+    straight-flank rectangle — closed-form from the 4 bounding streets'
+    widths, independent of the arc approximation. The REAL buffer /
+    dissolve / morphological-close / hole-extraction kernel produces
+    the rings; DuckDB reconstructs every bbox from the street table."""
+    import numpy as np
+    import pandas as pd
+    from osm_sidewalkreator_spark.plans import kernels
+
+    st = PL.assign_widths(
+        PL.load_streets(spark, sf_dir).filter(F.col("n_vertices") == 2))
+    lat = st.filter((F.col("x1") == F.col("x2"))
+                    | (F.col("y1") == F.col("y2"))) \
+        .select("osm_id", "x1", "y1", "x2", "y2", "width_m")
+    cols = ["xmin_mm", "ymin_mm", "xmax_mm", "ymax_mm"]
+    schema = ", ".join(f"{c} long" for c in cols)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("osm_id")
+        segs = pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+        w = pdf["width_m"].to_numpy(np.float64)
+        out = kernels.tile_pipeline(
+            segs, w, refine_lines=False,
+            way_ids=pdf["osm_id"].to_numpy(dtype=object))
+        rows = []
+        for ln in out["sidewalks"]:
+            rows.append([int(round(v * 1000)) for v in
+                         (ln[:, 0].min(), ln[:, 1].min(),
+                          ln[:, 0].max(), ln[:, 1].max())])
+        return pd.DataFrame(rows, columns=cols)
+
+    return (lat.withColumn("_g", F.lit(0)).groupBy("_g")
+            .applyInPandas(run, schema))
 
 
 def q_embedding_dedup_lsh(spark, sf_dir):
@@ -1019,6 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
         "q_crossing_geometry": q_crossing_geometry,
         "q_overlay_poly_poly": q_overlay_poly_poly,
+        "q_url_canonical": q_url_canonical,
+        "q_ring_bbox": q_ring_bbox,
     }
 
 
@@ -1584,6 +1651,81 @@ def oracle_sql() -> dict[str, str]:
             FROM eps LEFT JOIN mx
               ON eps.osm_id = mx.osm_id AND eps.px = mx.px
              AND eps.py = mx.py
+        """,
+        "q_ring_bbox": f"""
+            WITH w AS (SELECT osm_id, x1, y1, x2, y2,
+                         CASE WHEN TRY_CAST(width AS DOUBLE) > 0
+                              THEN TRY_CAST(width AS DOUBLE)
+                              ELSE {wc} END AS width_m
+                       FROM {streets}
+                       WHERE n_vertices = 2 AND (x1 = x2 OR y1 = y2)
+                         AND CASE WHEN TRY_CAST(width AS DOUBLE) > 0
+                              THEN TRY_CAST(width AS DOUBLE)
+                              ELSE {wc} END >= 0.5),
+                 d AS (SELECT x1, y1, x2, y2, max(width_m) AS wd
+                       FROM w GROUP BY x1, y1, x2, y2),
+                 hz AS (SELECT * FROM d WHERE y1 = y2),
+                 vt AS (SELECT * FROM d WHERE x1 = x2)
+            SELECT
+              CAST(round((l.x1 + l.wd / 2 + 0.5) * 1000) AS BIGINT)
+                AS xmin_mm,
+              CAST(round((b.y1 + b.wd / 2 + 0.5) * 1000) AS BIGINT)
+                AS ymin_mm,
+              CAST(round((r.x1 - r.wd / 2 - 0.5) * 1000) AS BIGINT)
+                AS xmax_mm,
+              CAST(round((t.y1 - t.wd / 2 - 0.5) * 1000) AS BIGINT)
+                AS ymax_mm
+            FROM hz b
+            JOIN hz t ON t.x1 = b.x1 AND t.x2 = b.x2
+                     AND t.y1 = b.y1 + 100
+            JOIN vt l ON l.x1 = b.x1 AND l.y1 = b.y1 AND l.y2 = t.y1
+            JOIN vt r ON r.x1 = b.x2 AND r.y1 = b.y1 AND r.y2 = t.y1
+        """,
+        "q_url_canonical": f"""
+            WITH b AS (SELECT url,
+                   regexp_extract(url, '^https://([^/]*)', 1) AS host0,
+                   regexp_extract(url, '^https://[^/]*(/.*)$', 1)
+                     AS path0,
+                   CAST(regexp_extract(url, '/p/([0-9]+)$', 1)
+                        AS BIGINT) % 5 AS n
+                 FROM {pages}),
+                 m AS (SELECT url, CASE n
+                   WHEN 0 THEN 'HTTPS://WWW.' || host0 || ':443'
+                               || path0 || '#x'
+                   WHEN 1 THEN 'https://' || host0 || path0 || '///'
+                   WHEN 2 THEN 'http://' || upper(host0) || ':80'
+                               || path0 || '?b=2&a=1'
+                   WHEN 3 THEN url
+                   ELSE 'https://' || host0 || ':8443' || path0 END
+                     AS messy_url FROM b),
+                 c AS (SELECT url, messy_url,
+                   lower(regexp_extract(messy_url,
+                         '^([^:/?#]+)://', 1)) AS scheme,
+                   regexp_replace(lower(regexp_extract(messy_url,
+                         '^[^:/?#]+://([^/?#]*)', 1)),
+                         '^www\\.', '') AS auth,
+                   regexp_extract(messy_url,
+                         '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+                   coalesce(regexp_extract(messy_url,
+                         '^[^:/?#]+://[^/?#]*[^?#]*(\\?[^#]*)', 1),
+                         '') AS query
+                 FROM m),
+                 h AS (SELECT *, CASE
+                   WHEN scheme = 'https'
+                     THEN regexp_replace(auth, ':443$', '')
+                   WHEN scheme = 'http'
+                     THEN regexp_replace(auth, ':80$', '')
+                   ELSE auth END AS host FROM c),
+                 pp AS (SELECT *, CASE
+                   WHEN regexp_replace(rawpath, '/+$', '') = ''
+                     THEN '/'
+                   ELSE regexp_replace(rawpath, '/+$', '') END AS path
+                 FROM h)
+            SELECT url, messy_url,
+                   scheme || '://' || host || path || query
+                     AS canon_url,
+                   host AS domain
+            FROM pp
         """,
         "q_overlay_poly_poly": f"""
             WITH ap AS (SELECT * FROM (VALUES

@@ -214,3 +214,27 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     cross-engine reproducible)."""
     return docs.select("doc_id",
                        F.md5(F.lower(F.col("text"))).alias("fingerprint"))
+
+
+def canonicalize_url(url):
+    """URL canonicalization for web-corpus dedup keys (pure JVM column
+    algebra, no UDF): lowercase scheme + host, strip a leading ``www.``,
+    strip the scheme's default port (80/443), drop the fragment, trim
+    trailing path slashes (bare path -> '/'), keep the query string
+    verbatim (parameter reordering is corpus-policy, not syntax).
+    Returns (canon_url, domain) columns."""
+    scheme = F.lower(F.regexp_extract(url, r"^([^:/?#]+)://", 1))
+    auth = F.lower(F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(auth, r"^www\.", "")
+    host = F.when(scheme == "https",
+                  F.regexp_replace(host, r":443$", "")) \
+        .when(scheme == "http", F.regexp_replace(host, r":80$", "")) \
+        .otherwise(host)
+    path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*[^?#]*(\?[^#]*)",
+                             1)
+    canon = F.concat(scheme, F.lit("://"), host, path, query)
+    domain = host
+    return canon.alias("canon_url"), domain.alias("domain")

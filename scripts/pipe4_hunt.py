@@ -1,0 +1,157 @@
+"""Steal-gated hunter for a clean sf0.4 pipeline scaling pair.
+
+The north-rule evidence job is the sidewalk-geometry pipeline
+(generate_features) on the 4x street grid, long enough to amortize
+per-job driver overhead. The sandbox VM suffers bursty hypervisor
+steal, so each leg:
+
+1. waits for a quiet window (30 s with steal < 2% and load1 < 1.5),
+2. runs the leg with /tmp/scaling.lock held,
+3. records the /proc/stat steal delta over the leg.
+
+A pair is CLEAN when both legs ran under the steal bound. A pure-CPU
+burn control (scripts/burn_control.py methodology, inline here) runs
+in the SAME window so the efficiency can be read against the host's
+deliverable-core ceiling. Appends the pair to BENCH/PIPE4.json.
+
+Usage: python scripts/pipe4_hunt.py [n_low] [max_rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+LOCK = Path("/tmp/scaling.lock")
+STEAL_MAX = 2.5
+
+LEG_CODE = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cpus = int(sys.argv[1])
+import os
+os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "64")
+os.environ.setdefault("SPARK_GRAFT_NPART", "128")
+from osm_sidewalkreator_spark.session import get_spark
+import osm_sidewalkreator_spark.plans.pipeline as PL
+from osm_sidewalkreator_spark.synth import ensure_synth
+sf = "/root/repo/data/synth/sf0.4"
+ensure_synth(sf)
+spark = get_spark(app=f"pipe4_{cpus}")
+t0 = time.time()
+n = PL.generate_features(spark, sf).count()
+dt = time.time() - t0
+print(json.dumps({"cpus": cpus, "rows": n, "seconds": round(dt, 2)}))
+"""
+
+
+def _steal() -> tuple[int, int]:
+    f = open("/proc/stat").readline().split()
+    v = [int(x) for x in f[1:]]
+    return v[7], sum(v)
+
+
+def _steal_pct(f):
+    s0, t0 = _steal()
+    out = f()
+    s1, t1 = _steal()
+    return out, 100.0 * (s1 - s0) / max(t1 - t0, 1)
+
+
+def _wait_quiet(minutes: int = 30) -> bool:
+    for _ in range(minutes * 2):
+        s0, t0 = _steal()
+        time.sleep(30)
+        s1, t1 = _steal()
+        steal = 100.0 * (s1 - s0) / max(t1 - t0, 1)
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if steal < 2.0 and load1 < 1.5:
+            return True
+        print(f"quiet-wait: steal {steal:.1f}% load {load1:.1f}",
+              flush=True)
+    return False
+
+
+def _leg(cpus: int) -> tuple[dict, float]:
+    def run():
+        out = subprocess.run([sys.executable, "-c", LEG_CODE, str(cpus)],
+                             capture_output=True, text=True, timeout=3600)
+        last = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")]
+        if not last:
+            raise RuntimeError(out.stderr[-2000:])
+        return json.loads(last[-1])
+    return _steal_pct(run)
+
+
+def _burn(dur: float) -> int:
+    t_end = time.time() + dur
+    x, it = 1.0001, 0
+    while time.time() < t_end:
+        for _ in range(10000):
+            x = x * 1.0000001 % 10.0
+        it += 1
+    return it
+
+
+def _burn_leg(n: int, dur: float = 20.0) -> tuple[int, float]:
+    def run():
+        with mp.Pool(n) as p:
+            return sum(p.map(_burn, [dur] * n))
+    return _steal_pct(run)
+
+
+def main():
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    max_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_high = 4 * n_low
+    for rnd in range(max_rounds):
+        print(f"round {rnd}", flush=True)
+        if not _wait_quiet():
+            continue
+        LOCK.write_text(str(os.getpid()))
+        try:
+            hi, st_hi = _leg(n_high)
+            print(f"  high {hi} steal {st_hi:.2f}%", flush=True)
+            if st_hi > STEAL_MAX:
+                continue
+            lo, st_lo = _leg(n_low)
+            print(f"  low {lo} steal {st_lo:.2f}%", flush=True)
+            if st_lo > STEAL_MAX:
+                continue
+            # same-window burn control (hi first: induced steal lives
+            # on the oversubscribed leg)
+            bh, sbh = _burn_leg(n_high)
+            bl, sbl = _burn_leg(n_low)
+        finally:
+            LOCK.unlink(missing_ok=True)
+        eff = (lo["seconds"] / hi["seconds"]) / (n_high / n_low)
+        ceiling = (bh / bl) / (n_high / n_low)
+        pair = {"n_low": n_low, "n_high": n_high,
+                "t_low": lo["seconds"], "t_high": hi["seconds"],
+                "rows_low": lo["rows"], "rows_high": hi["rows"],
+                "steal_low": round(st_lo, 2), "steal_high": round(st_hi, 2),
+                "efficiency": round(eff, 3),
+                "burn_ceiling_same_window": round(ceiling, 3),
+                "burn_steal": {"low": round(sbl, 2),
+                               "high": round(sbh, 2)},
+                "eff_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+                "ts": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}
+        p4 = REPO / "BENCH" / "PIPE4.json"
+        data = json.loads(p4.read_text()) if p4.exists() else {"pairs": []}
+        data["pairs"].append(pair)
+        p4.write_text(json.dumps(data, indent=1))
+        print("CLEAN PAIR", json.dumps(pair), flush=True)
+        return
+    print("GAVE UP", flush=True)
+
+
+if __name__ == "__main__":
+    main()
