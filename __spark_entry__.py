@@ -830,9 +830,10 @@ def q_extract_by_location(spark, sf_dir):
 
 def q_convex_hull(spark, sf_dir):
     """G9 convex hull (native:convexhull, generic_functions.py:220-227):
-    hull of each block's pages (monotone chain kernel). Rows-only — the
-    hull is a geometry kernel, properties pinned in
-    tests/test_predicates_hull.py."""
+    hull of each block's pages (monotone chain kernel). EXACT oracle:
+    `_hull_oracle_sql` recomputes every hull in pure SQL via
+    directional-extreme pruning + the all-strictly-one-side edge test;
+    kernel properties also pinned in tests/test_predicates_hull.py."""
     import pandas as pd
     from pyspark.sql import types as T
     import numpy as np
@@ -1155,6 +1156,97 @@ _LB_PIECE_MM = """
                 ELSE ax + t1*(bx-ax) END) * 1000) AS BIGINT) AS bx_mm,
     CAST(round((CASE WHEN t1 = 1.0 THEN by
                 ELSE ay + t1*(by-ay) END) * 1000) AS BIGINT) AS by_mm"""
+
+
+def _hull_oracle_sql(pages_geo: str, blocks: str) -> str:
+    """Exact SQL convex hull (G9) — independent of the monotone-chain
+    kernel. Three stages, all set algebra:
+
+    1. prune: a point strictly inside the octagon of the 8 directional
+       extremes (E NE N NW W SW S SE) cannot be a hull vertex (the
+       octagon is inscribed in the hull). ~100k pts -> ~30k shell pts.
+    2. pair filter: every point of a hull EDGE lies on the hull
+       boundary, hence never strictly inside that octagon — so a
+       candidate pair whose 1/4, 1/2, or 3/4 point falls strictly
+       inside is discarded cheaply (epsilon 1e-6 m^2 absorbs fp noise
+       for edges coincident with octagon edges; real interior
+       clearances are macroscopic). ~450M pairs -> ~28k.
+    3. exact test: (a,b) is a hull edge iff every other shell point is
+       strictly on one side (sound vs pruned points: they are inside
+       the octagon, which is inside the hull of the shell). n_hull =
+       #edges; shoelace over edges directed interior-left.
+
+    Degenerate octagon edges (repeated extremes) are skipped by the
+    zero-length guard; blocks with <3 distinct points short-circuit to
+    (count, 0.0) like the kernel."""
+    dirs = [("e", "x"), ("ne", "x+y"), ("n", "y"), ("nw", "y-x"),
+            ("w", "-x"), ("sw", "-x-y"), ("s", "-y"), ("se", "x-y")]
+    aggs = ", ".join(
+        f"arg_max(x, {expr}) AS {n}_x, arg_max(y, {expr}) AS {n}_y"
+        for n, expr in dirs)
+
+    def inside(px, py):
+        conds = []
+        names = [n for n, _ in dirs]
+        for j, a in enumerate(names):
+            b = names[(j + 1) % 8]
+            conds.append(
+                f"(({b}_x = {a}_x AND {b}_y = {a}_y) OR "
+                f"({b}_x-{a}_x)*(({py})-{a}_y)"
+                f" - ({b}_y-{a}_y)*(({px})-{a}_x) > 1e-6)")
+        return "(" + " AND ".join(conds) + ")"
+
+    return f"""
+        WITH pip AS (
+          SELECT b.block_id, p.x, p.y
+          FROM {pages_geo} p JOIN {blocks} b
+            ON p.x >= b.xmin AND p.x < b.xmax
+           AND p.y >= b.ymin AND p.y < b.ymax
+        ),
+        pts AS (SELECT DISTINCT block_id, x, y FROM pip),
+        cnts AS (SELECT block_id, count(*) AS n FROM pts GROUP BY block_id),
+        ext AS (SELECT block_id, {aggs} FROM pts GROUP BY block_id),
+        cand AS (
+          SELECT p.block_id, p.x, p.y
+          FROM pts p JOIN ext USING (block_id)
+          WHERE NOT {inside('p.x', 'p.y')}
+        ),
+        pairs AS (
+          SELECT a.block_id, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+          FROM cand a
+          JOIN cand b ON a.block_id = b.block_id
+                     AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+          JOIN ext e ON e.block_id = a.block_id
+          WHERE NOT {inside('0.5*(a.x+b.x)', '0.5*(a.y+b.y)')}
+            AND NOT {inside('0.25*a.x+0.75*b.x', '0.25*a.y+0.75*b.y')}
+            AND NOT {inside('0.75*a.x+0.25*b.x', '0.75*a.y+0.25*b.y')}
+        ),
+        edges AS (
+          SELECT p.block_id, p.ax, p.ay, p.bx, p.by,
+                 min((p.bx-p.ax)*(c.y-p.ay) - (p.by-p.ay)*(c.x-p.ax)) AS mn
+          FROM pairs p
+          JOIN cand c ON c.block_id = p.block_id
+                     AND NOT (c.x = p.ax AND c.y = p.ay)
+                     AND NOT (c.x = p.bx AND c.y = p.by)
+          GROUP BY 1, 2, 3, 4, 5
+          HAVING min((p.bx-p.ax)*(c.y-p.ay) - (p.by-p.ay)*(c.x-p.ax)) > 0
+              OR max((p.bx-p.ax)*(c.y-p.ay) - (p.by-p.ay)*(c.x-p.ax)) < 0
+        ),
+        hulls AS (
+          SELECT block_id,
+                 CAST(count(*) AS INTEGER) AS n_hull,
+                 round(0.5 * abs(sum(CASE WHEN mn > 0
+                                          THEN ax*by - ay*bx
+                                          ELSE bx*ay - by*ax END)), 3)
+                   AS hull_area
+          FROM edges GROUP BY block_id
+        )
+        SELECT h.block_id, h.n_hull, h.hull_area FROM hulls h
+        UNION ALL
+        SELECT c.block_id, CAST(c.n AS INTEGER) AS n_hull,
+               0.0 AS hull_area
+        FROM cnts c WHERE c.n < 3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1966,6 +2058,7 @@ def oracle_sql() -> dict[str, str]:
                     <= {P.CUTOFF_PERCENT_PROTOBLOCK}) AS keep
             FROM b LEFT JOIN inc USING (block_id)
         """,
+        "q_convex_hull": _hull_oracle_sql(pages_geo, blocks),
         "q_golden_counts": _golden_counts_sql(),
         "q_golden_kerb_anchor": _golden_kerb_anchor_sql(),
         "q_golden_crossing_length": _golden_crossing_length_sql(),
