@@ -196,7 +196,9 @@ def q_html_bytes(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal: mapInPandas feature extraction over binary payloads
-    (decode stubbed with the deterministic fake)."""
+    (decode stubbed with the deterministic fake). EXACT oracle: the
+    fake is pure byte statistics, recomputed in SQL over ord() of the
+    ASCII payload."""
     pages = load_pages(spark, sf_dir).filter(F.col("url").endswith("00"))
     return MM.extract_media_features(pages).select(
         "url", "n_bytes", (F.round("feat_mean", 6) + 0.0).alias("feat_mean"),
@@ -2059,10 +2061,37 @@ def oracle_sql() -> dict[str, str]:
             FROM b LEFT JOIN inc USING (block_id)
         """,
         "q_convex_hull": _hull_oracle_sql(pages_geo, blocks),
+        # the 'decode' is the deterministic byte-statistics fake
+        # (multimodal.py:33-44): pseudo-image = first side^2 bytes,
+        # side = floor(sqrt(n)). html is ASCII, so ord() over VARCHAR
+        # positions reproduces np.uint8 exactly; sums of <2^53 ints are
+        # exact in float64, so avg matches np.mean bitwise.
+        "q_media_features": f"""
+            WITH p AS (
+              SELECT url, CAST(html AS VARCHAR) AS h,
+                     octet_length(html) AS n
+              FROM {pages} WHERE url LIKE '%00'
+            ),
+            s AS (
+              SELECT url, n, h,
+                     greatest(1, CAST(floor(sqrt(n)) AS BIGINT)) AS side
+              FROM p
+            ),
+            b AS (
+              SELECT url, n, side,
+                     avg(ord(substring(h, CAST(pos AS INTEGER), 1))) AS m
+              FROM s, unnest(range(1, side*side + 1)) AS t(pos)
+              GROUP BY 1, 2, 3
+            )
+            SELECT url, n AS n_bytes, round(m, 6) + 0.0 AS feat_mean,
+                   CAST(side AS INTEGER) AS width_px,
+                   CAST(side AS INTEGER) AS height_px
+            FROM b
+        """,
         "q_golden_counts": _golden_counts_sql(),
         "q_golden_kerb_anchor": _golden_kerb_anchor_sql(),
         "q_golden_crossing_length": _golden_crossing_length_sql(),
-        # q_minhash_pairs / q_simhash / q_cosine_lsh / q_media_features /
+        # q_minhash_pairs / q_simhash / q_cosine_lsh /
         # q_geocode_pages / q_protoblocks / q_sidewalk_rings / q_crossings /
         # q_kerbs / q_golden_protoblock_faces: engine-specific (seeded-hash
         # or geometry-kernel) paths — rows-only checks by design.
