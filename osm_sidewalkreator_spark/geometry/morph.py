@@ -428,24 +428,45 @@ def trace_directed_rings(edges: np.ndarray, snap: float = SNAP
         return [], []
     ang = np.arctan2(verts[head][:, 1] - verts[tail][:, 1],
                      verts[head][:, 0] - verts[tail][:, 0])
-    order = np.lexsort((ang, tail))
-    sorted_tail = tail[order]
-    grp_start = np.searchsorted(sorted_tail, np.arange(len(verts)), "left")
-    grp_end = np.searchsorted(sorted_tail, np.arange(len(verts)), "right")
-    nxt = np.full(m, -1, dtype=np.int64)
     rev_ang = (ang + 2 * np.pi) % (2 * np.pi) - np.pi  # ang + pi wrapped
-    for d in range(m):
-        v = head[d]
-        s, e = grp_start[v], grp_end[v]
-        if s == e:
-            continue
-        cand = order[s:e]
-        ca = ang[cand]
-        less = ca < rev_ang[d] - 1e-12
-        if less.any():
-            nxt[d] = cand[np.flatnonzero(less)[np.argmax(ca[less])]]
-        else:
-            nxt[d] = cand[np.argmax(ca)]
+    # Successor of d = among outgoing edges at head[d], the one with the
+    # largest angle strictly below rev_ang[d]-1e-12, wrapping to the
+    # group max if none. Vectorized as one merged sort: candidates
+    # keyed by tail and queries keyed by head share the ordering; the
+    # predecessor CANDIDATE of each query slot inside its key group is
+    # the answer. Queries sort BEFORE candidates at equal value (tie
+    # column), preserving the strict `<`; tied-angle candidate runs
+    # resolve to their run start, matching argmax's first-of-ties.
+    keys = np.concatenate([tail, head])
+    vals = np.concatenate([ang, rev_ang - 1e-12])
+    tie = np.concatenate([np.ones(m, np.int8), np.zeros(m, np.int8)])
+    edge_id = np.concatenate([np.arange(m), np.arange(m)])
+    order = np.lexsort((tie, vals, keys))
+    k_s = keys[order]
+    v_s = vals[order]
+    is_cand = tie[order] == 1
+    pos = np.arange(2 * m)
+    new_grp = np.empty(2 * m, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = k_s[1:] != k_s[:-1]
+    run_new = is_cand.copy()
+    run_new[1:] &= (~is_cand[:-1]) | new_grp[1:] | (v_s[1:] != v_s[:-1])
+    run_first = np.maximum.accumulate(np.where(run_new, pos, -1))
+    ff = np.maximum.accumulate(np.where(is_cand, run_first, -1))
+    grp_first = np.maximum.accumulate(np.where(new_grp, pos, 0))
+    grp_id = np.cumsum(new_grp) - 1
+    grp_last_cand = np.full(grp_id[-1] + 1, -1, dtype=np.int64)
+    np.maximum.at(grp_last_cand, grp_id[is_cand], pos[is_cand])
+    qpos = pos[~is_cand]
+    pred = ff[qpos]
+    valid = pred >= grp_first[qpos]
+    glc = grp_last_cand[grp_id[qpos]]
+    wrap = np.where(glc >= 0, run_first[np.maximum(glc, 0)], -1)
+    chosen = np.where(valid, pred, wrap)
+    ok = chosen >= 0
+    nxt = np.full(m, -1, dtype=np.int64)
+    qd = edge_id[order][qpos]
+    nxt[qd[ok]] = edge_id[order][np.maximum(chosen, 0)][ok]
     visited = np.zeros(m, dtype=bool)
     ext, holes = [], []
     for d0 in range(m):
