@@ -24,10 +24,16 @@ def segment_lengths(segs: np.ndarray) -> np.ndarray:
     return np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
 
 
+def _next1(a: np.ndarray) -> np.ndarray:
+    """a shifted left by one with wraparound (np.roll(a, -1) without its
+    per-call dispatch overhead — these run once per ring)."""
+    return np.concatenate((a[1:], a[:1]))
+
+
 def ring_signed_area(coords: np.ndarray) -> float:
     """Shoelace; positive = CCW. Ring may or may not repeat first point."""
     x, y = coords[:, 0], coords[:, 1]
-    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    return 0.5 * float(np.dot(x, _next1(y)) - np.dot(y, _next1(x)))
 
 
 def ring_perimeter(coords: np.ndarray) -> float:
@@ -38,7 +44,7 @@ def ring_perimeter(coords: np.ndarray) -> float:
 def ring_centroid(coords: np.ndarray) -> tuple[float, float]:
     """Area-weighted polygon centroid of a single ring."""
     x, y = coords[:, 0], coords[:, 1]
-    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    xn, yn = _next1(x), _next1(y)
     cross = x * yn - xn * y
     a = cross.sum() / 2.0
     if abs(a) < 1e-12:  # degenerate: fall back to vertex mean
@@ -86,7 +92,7 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     """Even-odd ray-casting PIP: many points vs one ring. Vectorized over
     points x edges. Boundary points are not guaranteed either way."""
     x1, y1 = ring[:, 0], ring[:, 1]
-    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    x2, y2 = _next1(x1), _next1(y1)
     px = px[:, None]
     py = py[:, None]
     cond = (y1 > py) != (y2 > py)

@@ -96,7 +96,9 @@ def trace_faces(verts: np.ndarray, edge_vidx: np.ndarray
         vids = [int(origin[d]) for d in cyc_dirs]
         coords = verts[vids]
         x, y = coords[:, 0], coords[:, 1]
-        area = 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        xn = np.concatenate((x[1:], x[:1]))
+        yn = np.concatenate((y[1:], y[:1]))
+        area = 0.5 * float(np.dot(x, yn) - np.dot(y, xn))
         edges = [(int(eids[d % m]), d < m) for d in cyc_dirs]
         faces.append({"vids": vids, "area": area, "edges": edges})
     return faces

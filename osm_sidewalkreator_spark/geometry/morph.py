@@ -491,7 +491,9 @@ def trace_directed_rings(edges: np.ndarray, snap: float = SNAP
             continue
         ring = verts[tail[chain]]
         x, y = ring[:, 0], ring[:, 1]
-        area = 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        xn = np.concatenate((x[1:], x[:1]))
+        yn = np.concatenate((y[1:], y[:1]))
+        area = 0.5 * float(np.dot(x, yn) - np.dot(y, xn))
         if abs(area) <= (snap * 100) ** 2:
             continue
         if area > 0:
@@ -514,8 +516,7 @@ def simplify_collinear(ring: np.ndarray, tol: float = 1e-9) -> np.ndarray:
     """
     if len(ring) <= 3:
         return ring
-    prev = np.roll(ring, 1, axis=0)
-    nxt = np.roll(ring, -1, axis=0)
+    prev, nxt = _ring_prev_next(ring)
     chord = nxt - prev
     ln = np.hypot(chord[:, 0], chord[:, 1])
     ln = np.where(ln == 0, 1.0, ln)
@@ -556,6 +557,14 @@ def buffer_union(segs: np.ndarray, radii: np.ndarray, nseg: int = 5,
     return sets, ext, holes
 
 
+def _ring_prev_next(ring: np.ndarray):
+    """(prev, next) vertex arrays with wraparound — np.roll(ring, ±1,
+    axis=0) without per-call dispatch (runs once per ring)."""
+    prev = np.concatenate((ring[-1:], ring[:-1]))
+    nxt = np.concatenate((ring[1:], ring[:1]))
+    return prev, nxt
+
+
 def ring_wedges(ring: np.ndarray, radius: float, nseg: int = 5
                 ) -> list[np.ndarray]:
     """Corner sector polygons filling the offset gaps at ring turns.
@@ -569,8 +578,7 @@ def ring_wedges(ring: np.ndarray, radius: float, nseg: int = 5
     n = len(ring)
     if n < 3:
         return []
-    prev = np.roll(ring, 1, axis=0)
-    nxt = np.roll(ring, -1, axis=0)
+    prev, nxt = _ring_prev_next(ring)
     u1 = ring - prev
     u2 = nxt - ring
     l1 = np.hypot(u1[:, 0], u1[:, 1])

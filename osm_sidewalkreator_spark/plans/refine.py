@@ -23,8 +23,8 @@ def polygon_corners(ring: np.ndarray, lo_deg: float = 160.0,
     n = len(ring)
     if n < 3:
         return ring
-    prev = np.roll(ring, 1, axis=0)
-    nxt = np.roll(ring, -1, axis=0)
+    prev = np.concatenate((ring[-1:], ring[:-1]))
+    nxt = np.concatenate((ring[1:], ring[:1]))
     ang = np.degrees(np.abs(np.arctan2(
         np.cross(ring - prev, nxt - ring),
         ((ring - prev) * (nxt - ring)).sum(axis=1))))
