@@ -254,6 +254,14 @@ def q_simhash(spark, sf_dir):
     return TX.simhash64(d)
 
 
+def q_simhash_md5(spark, sf_dir):
+    """Portable-hash SimHash (md5 halves) with an EXACT DuckDB oracle —
+    hard correctness gate for the SimHash vote/threshold algebra (the
+    xxhash64 default stays rows-only: no xxhash64 in DuckDB)."""
+    d = _docs(spark, sf_dir).filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    return TX.simhash64_portable(d)
+
+
 def q_token_stats(spark, sf_dir):
     return TX.token_stats(_docs(spark, sf_dir))
 
@@ -1053,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash": q_simhash,
+        "q_simhash_md5": q_simhash_md5,
         "q_token_stats": q_token_stats,
         "q_quality": q_quality,
         "q_langid": q_langid,
@@ -1251,6 +1260,33 @@ def _hull_oracle_sql(pages_geo: str, blocks: str) -> str:
     """
 
 
+def _simhash_md5_oracle_sql() -> str:
+    """Exact SQL mirror of simhash64_portable (textops.py): md5-half
+    token hashes, per-bit +/-1 votes, >0 threshold, disjoint-bit sums."""
+    sums = ", ".join(
+        f"sum(CASE WHEN (h{half} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS {half}{i}"
+        for i in range(32) for half in ("hi", "lo"))
+    words = {
+        half: " + ".join(
+            f"(CASE WHEN {half}{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(32))
+        for half in ("hi", "lo")}
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hhi,
+                 ('0x' || substring(md5(tok), 9, 8))::BIGINT AS hlo
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id % 10 = 0)
+        ),
+        v AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id)
+        SELECT doc_id, CAST({words['hi']} AS BIGINT) AS sim_hi,
+               CAST({words['lo']} AS BIGINT) AS sim_lo
+        FROM v
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     streets = f"read_parquet('{SP}/streets.parquet')"
     blocks = f"read_parquet('{SP}/blocks.parquet')"
@@ -1379,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_pairs": _JACCARD_SQL,
         "q_minhash_pairs": _JACCARD_SQL,
         
+        "q_simhash_md5": _simhash_md5_oracle_sql(),
         "q_token_stats": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,

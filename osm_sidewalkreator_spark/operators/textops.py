@@ -151,6 +151,44 @@ def simhash64(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
+def simhash64_portable(docs: DataFrame) -> DataFrame:
+    """SimHash with a PORTABLE token hash: the two 32-bit halves of
+    md5(token) (hex -> int), fingerprint emitted as (sim_hi, sim_lo)
+    32-bit words so no sign-bit shifting is needed anywhere.
+
+    Same vote algebra as :func:`simhash64`, but every step is
+    reproducible in any engine with md5 — the DuckDB oracle recomputes
+    the fingerprints exactly, giving the SimHash family a hard
+    correctness gate (xxhash64 is JVM-only, so the fast default stays
+    rows-only). Use this variant for cross-engine fingerprint parity;
+    use simhash64 in the hot path.
+    """
+    toks = (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("tok"))
+            .withColumn("hhi", F.conv(F.substring(F.md5("tok"), 1, 8),
+                                      16, 10).cast("long"))
+            .withColumn("hlo", F.conv(F.substring(F.md5("tok"), 9, 8),
+                                      16, 10).cast("long")))
+    aggs = []
+    for i in range(32):
+        for half, col in (("hi", "hhi"), ("lo", "hlo")):
+            aggs.append(F.sum(F.when(
+                F.shiftright(F.col(col), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)).alias(f"{half}{i}"))
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    out = {}
+    for half in ("hi", "lo"):
+        w = None
+        for i in range(32):
+            bit = F.when(F.col(f"{half}{i}") > 0,
+                         F.lit(1 << i).cast("long")) \
+                   .otherwise(F.lit(0).cast("long"))
+            w = bit if w is None else w + bit
+        out[half] = w
+    return votes.select("doc_id", out["hi"].alias("sim_hi"),
+                        out["lo"].alias("sim_lo"))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish subword estimate (P19-adjacent
     text accounting; text column itself is never rewritten)."""
