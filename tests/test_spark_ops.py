@@ -387,3 +387,36 @@ def test_polygon_overlay_overlapping_union(spark):
            inter.groupBy("b_id").agg(F.sum("area").alias("area"))
            .collect()}
     assert abs(per[10] - 1200) < 1e-3 and abs(per[11] - 1200) < 1e-3
+
+
+def test_simhash_portable_hamming_property(spark):
+    """Portable (md5-half) SimHash: near-identical docs land at small
+    hamming distance, unrelated docs far — and the fingerprint is a
+    pure function of the text (deterministic across runs)."""
+    import hashlib
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river"),
+        (1, "the quick brown fox jumps over the lazy cat near the river"),
+        (2, "completely different words about spark shuffles and parquet"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["sim_hi"] << 32) | r["sim_lo"]
+           for r in TX.simhash64_portable(docs).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(out[0], out[1]) < ham(out[0], out[2])
+    assert ham(out[0], out[1]) <= 16
+
+    # engine-independent reference: replicate the vote algebra in pure
+    # python over md5 halves for doc 0
+    votes = [0] * 64
+    for tok in rows[0][1].split(" "):
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        h = (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    expect = sum(1 << i for i in range(64) if votes[i] > 0)
+    assert out[0] == expect
