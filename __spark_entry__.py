@@ -262,6 +262,51 @@ def q_simhash_md5(spark, sf_dir):
     return TX.simhash64_portable(d)
 
 
+def q_polygonize_lattice(spark, sf_dir):
+    """G6 polygonize with an EXACT oracle: the real noding + polygonize
+    kernel (geometry/noding.py, geometry/faces.py — native:polygonize,
+    osm_sidewalkreator.py:724) runs on the deduped axis-aligned
+    2-vertex sub-network, a complete mesh whose minimal faces are
+    exactly the cells between consecutive grid-line positions. The
+    oracle regenerates every cell bbox + area from the distinct line
+    positions with window lead() — fully independent of the face
+    tracer."""
+    import numpy as np
+    import pandas as pd
+
+    st = (PL.load_streets(spark, sf_dir)
+          .filter(F.col("n_vertices") == 2)
+          .filter((F.col("x1") == F.col("x2"))
+                  | (F.col("y1") == F.col("y2")))
+          .select("x1", "y1", "x2", "y2").distinct())
+    schema = ("xmin_mm long, ymin_mm long, xmax_mm long, ymax_mm long, "
+              "area_cm2 long")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from osm_sidewalkreator_spark.geometry import faces, noding
+        segs = pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+        noded, _ = noding.node_segments(segs)
+        rows = []
+        for ring in faces.polygonize(noded):
+            x, y = ring[:, 0], ring[:, 1]
+            xn = np.concatenate((x[1:], x[:1]))
+            yn = np.concatenate((y[1:], y[:1]))
+            area = 0.5 * abs(float(np.dot(x, yn) - np.dot(y, xn)))
+            rows.append([int(round(x.min() * 1000)),
+                         int(round(y.min() * 1000)),
+                         int(round(x.max() * 1000)),
+                         int(round(y.max() * 1000)),
+                         int(round(area * 1e4))])
+        return pd.DataFrame(rows, columns=["xmin_mm", "ymin_mm",
+                                           "xmax_mm", "ymax_mm",
+                                           "area_cm2"])
+
+    # single group at gate scale; the scale path for polygonize is the
+    # tiled cogroup in generate_features
+    return st.withColumn("_g", F.lit(0)).groupBy("_g") \
+             .applyInPandas(run, schema)
+
+
 def q_token_stats(spark, sf_dir):
     return TX.token_stats(_docs(spark, sf_dir))
 
@@ -1062,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash": q_simhash,
         "q_simhash_md5": q_simhash_md5,
+        "q_polygonize_lattice": q_polygonize_lattice,
         "q_token_stats": q_token_stats,
         "q_quality": q_quality,
         "q_langid": q_langid,
@@ -1416,6 +1462,28 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_pairs": _JACCARD_SQL,
         
         "q_simhash_md5": _simhash_md5_oracle_sql(),
+        "q_polygonize_lattice": f"""
+            WITH st AS (
+              SELECT DISTINCT x1, y1, x2, y2 FROM {streets}
+              WHERE n_vertices = 2 AND (x1 = x2 OR y1 = y2)
+            ),
+            vxs AS (
+              SELECT x, lead(x) OVER (ORDER BY x) AS xn
+              FROM (SELECT DISTINCT x1 AS x FROM st WHERE x1 = x2)
+            ),
+            hys AS (
+              SELECT y, lead(y) OVER (ORDER BY y) AS yn
+              FROM (SELECT DISTINCT y1 AS y FROM st WHERE y1 = y2)
+            )
+            SELECT CAST(round(x * 1000) AS BIGINT) AS xmin_mm,
+                   CAST(round(y * 1000) AS BIGINT) AS ymin_mm,
+                   CAST(round(xn * 1000) AS BIGINT) AS xmax_mm,
+                   CAST(round(yn * 1000) AS BIGINT) AS ymax_mm,
+                   CAST(round((xn - x) * (yn - y) * 10000) AS BIGINT)
+                     AS area_cm2
+            FROM vxs, hys
+            WHERE xn IS NOT NULL AND yn IS NOT NULL
+        """,
         "q_token_stats": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
