@@ -1028,7 +1028,9 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
                   refine_lines: bool = True,
                   bounds: tuple | None = None,
                   remove_dead_ends: bool = True,
-                  max_split_len: float | None = None) -> dict:
+                  dangle_iterations: int = 1,
+                  max_split_len: float | None = None,
+                  enlarge_crossings: bool = False) -> dict:
     """Full geometry pipeline for one tile's street segments (local TM).
 
     ``sidewalk_tags``: optional dict of per-input-segment string arrays
@@ -1046,6 +1048,17 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
 
     ``bounds`` (tile halo box) marks halo-cut endpoints as connected so
     per-tile dead-end classification matches the global run.
+
+    ``dangle_iterations``: number of G15 passes. The reference GUI
+    exposes N extra dead-end iterations (osm_sidewalkreator.py:803-810,
+    spinbox default 0 == one pass); each pass recomputes endpoint
+    connectivity on the survivors WITH the cul-de-sac exemption, so a
+    2-deep stub chain needs N>=2 to disappear.
+
+    ``enlarge_crossings``: run the GUI bounded crossing-resolution loop
+    (osm_sidewalkreator.py:3035-3170) instead of the single-shot ray —
+    unresolved ray sides double their reach, too-long crossings step
+    inward, > ABS_MAX_CROSSING_LEN dies (see ``crossings_and_kerbs``).
 
     Returns dict with protoblock rings, sidewalk polylines, crossings,
     kerbs, and the zone polygon lists.
@@ -1065,8 +1078,10 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
     # (osm_sidewalkreator.py:803-810), so stubs get no rings/crossings;
     # cul-de-sacs inside the (A10-filtered) block area stay
     if remove_dead_ends and len(noded):
-        dk = dangle_keep_mask(noded, blocks, bounds=bounds)
-        if not dk.all():
+        for _ in range(max(1, dangle_iterations)):
+            dk = dangle_keep_mask(noded, blocks, bounds=bounds)
+            if dk.all():
+                break
             noded, w = noded[dk], w[dk]
             if noded_ways is not None:
                 noded_ways = noded_ways[dk]
@@ -1108,7 +1123,8 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
         sw_segs = ring_edges
 
     crossings, kerbs = crossings_and_kerbs(noded, w, sw_segs,
-                                           way_ids=noded_ways)
+                                           way_ids=noded_ways,
+                                           enlarge=enlarge_crossings)
 
     if refine_lines and sidewalk_lines:
         from . import refine

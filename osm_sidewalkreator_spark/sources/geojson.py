@@ -7,8 +7,8 @@ merge (``merge_geojsons`` ``generic_functions.py:1589-1606``). Here each
 feature row becomes a GeoJSON Feature string built JVM-side-adjacent
 (pandas UDF for coordinate extraction, ``to_json``-style assembly), and
 the merged JOSM-ready file is the union of the per-kind layers —
-``unionByName`` + single-file collect, the Spark analog of the
-reference's features-array concat.
+executor-written sorted text parts streamed into one document, the
+Spark analog of the reference's features-array concat.
 """
 
 from __future__ import annotations
@@ -71,16 +71,48 @@ def features_to_geojson_rows(features_4326: DataFrame) -> DataFrame:
 
 
 def write_merged_geojson(features_4326: DataFrame, path: str,
-                         kinds: tuple = ("sidewalk", "crossing", "kerb")):
+                         kinds: tuple = ("sidewalk", "crossing", "kerb"),
+                         keep_parts: bool = False):
     """JOSM-ready merged FeatureCollection (S5 semantics): the union of
-    the requested layers in one file."""
+    the requested layers in one file.
+
+    Scale path: the feature rows are range-partitioned and sorted by
+    (kind, fid) and written as text parts by the EXECUTORS
+    (``df.write.text``); the driver then streams the part files into
+    the single merged document line-by-line — O(1) driver memory, no
+    ``collect()`` of features. Concatenating range partitions in part
+    order preserves the global (kind, fid) sort, so the output is
+    byte-identical to the reference's features-array concat
+    (``merge_geojsons`` generic_functions.py:1589-1606). At true scale
+    the part directory itself is the artifact (pass
+    ``keep_parts=True`` to retain it as a manifest next to the merged
+    file)."""
+    import glob
+    import shutil
+
     rows = (features_to_geojson_rows(features_4326)
             .filter(F.col("kind").isin(*kinds))
-            .orderBy("kind", "fid")
-            .select("feature_json").collect())
-    doc = ('{"type":"FeatureCollection","features":[\n'
-           + ",\n".join(r["feature_json"] for r in rows)
-           + "\n]}")
+            .repartitionByRange(F.col("kind"), F.col("fid"))
+            .sortWithinPartitions("kind", "fid")
+            .select("feature_json"))
+    parts_dir = path + ".parts"
+    rows.write.mode("overwrite").text(parts_dir)
+    n = 0
     with open(path, "w") as f:
-        f.write(doc)
-    return len(rows)
+        f.write('{"type":"FeatureCollection","features":[\n')
+        first = True
+        for part in sorted(glob.glob(parts_dir + "/part-*")):
+            with open(part) as pf:
+                for line in pf:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    if not first:
+                        f.write(",\n")
+                    f.write(line)
+                    first = False
+                    n += 1
+        f.write("\n]}")
+    if not keep_parts:
+        shutil.rmtree(parts_dir)
+    return n

@@ -61,9 +61,65 @@ def run_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minutely_event_counts_stream(spark, str(stage), name)
 
 
+# numRowsTotal per micro-batch of the most recent append-mode
+# sessionize stream (test hook: state must SHRINK once the watermark
+# passes closed sessions — the eviction proof)
+LAST_SESSION_STREAM_STATE_ROWS: list[int] = []
+
+_SENTINEL_USER = -1
+
+
+def _stage_events_with_sentinel(spark: SparkSession, sf_dir: str,
+                                gap_h: int, watermark_min: int) -> Path:
+    """Stage the events table as TWO stream-source files: the real
+    events, then one sentinel row (user_id=-1) whose event time lies
+    past every real session's close + watermark. Processed last
+    (maxFilesPerTrigger=1, older mtime on the real file), it advances
+    the global watermark past all real sessions so APPEND mode emits —
+    and evicts — every one of them on the bounded input."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stage = Path(tempfile.gettempdir()) / "sidewalkreator_stream" \
+        / f"sessions_append_{Path(sf_dir).name}"
+    src = f"{sf_dir}/events.parquet"
+    dst = stage / "events.parquet"
+    sen = stage / "zz_sentinel.parquet"
+    if dst.exists() and sen.exists():
+        return stage
+    stage.mkdir(parents=True, exist_ok=True)
+    shutil.copy(src, dst)
+    max_ts = (spark.read.parquet(src)
+              .agg(F.max(F.to_timestamp("ts"))).collect()[0][0])
+    sentinel_ts = max_ts + datetime.timedelta(
+        hours=gap_h, minutes=watermark_min + 60)
+    schema = pq.read_schema(src)
+    arrays = []
+    for f in schema:
+        if f.name == "ts":
+            arrays.append(pa.array([sentinel_ts], type=f.type))
+        elif f.name == "user_id":
+            arrays.append(pa.array([_SENTINEL_USER], type=f.type))
+        elif pa.types.is_integer(f.type):
+            arrays.append(pa.array([0], type=f.type))
+        elif pa.types.is_floating(f.type):
+            arrays.append(pa.array([0.0], type=f.type))
+        else:
+            arrays.append(pa.array(["_sentinel"], type=f.type))
+    pq.write_table(pa.Table.from_arrays(arrays, schema=schema), sen)
+    # real file strictly older than the sentinel -> processed first
+    past = os.stat(sen).st_mtime - 60
+    os.utime(dst, (past, past))
+    return stage
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str,
                       gap: str = "12 hours",
-                      streaming: bool = False) -> DataFrame:
+                      streaming: bool = False,
+                      output_mode: str = "append") -> DataFrame:
     """Per-user session windows (``F.session_window`` — Spark's native
     merging session windows, the engine's stateful-aggregation path for
     SURVEY.md §2.9).
@@ -72,27 +128,35 @@ def sessionize_events(spark: SparkSession, sf_dir: str,
     the window end extends ``gap`` past the last event ([start, end)
     semantics — an event landing exactly on the closing boundary opens
     a NEW session). Works identically as a batch aggregation (the
-    oracle gate path) and as a watermarked stream (``streaming=True``
-    runs availableNow over the staged file source).
+    oracle gate path) and as a watermarked stream (``streaming=True``).
 
-    The streaming path uses ``outputMode("complete")``, which retains
-    every session in state for the query's lifetime — correct and
-    bounded ONLY for the one-shot availableNow run used here (it is
-    what lets the bounded run emit sessions the final watermark has not
-    passed, matching the batch result exactly). A continuous production
-    stream must instead use ``outputMode("append")``, where the
-    watermark evicts closed sessions but sessions newer than the
-    watermark are withheld until it passes them.
+    The streaming path defaults to ``outputMode("append")`` — the
+    production template: the watermark EVICTS each session from state
+    once it passes the session's close, so state stays bounded on a
+    continuous stream. On the bounded gate input a sentinel row staged
+    after the real data (see ``_stage_events_with_sentinel``) pushes
+    the final watermark past every real session, making the append
+    output set-equal to the batch aggregation; the sentinel's own
+    session is filtered from the result. ``output_mode="complete"``
+    keeps the old retain-everything behavior (bounded runs only).
     """
     if streaming:
-        stage = Path(tempfile.gettempdir()) / "sidewalkreator_stream" \
-            / Path(sf_dir).name
-        stage.mkdir(parents=True, exist_ok=True)
-        dst = stage / "events.parquet"
-        if not dst.exists():
-            shutil.copy(f"{sf_dir}/events.parquet", dst)
+        if output_mode == "append":
+            stage = _stage_events_with_sentinel(spark, sf_dir,
+                                                gap_h=12,
+                                                watermark_min=10)
+        else:
+            stage = Path(tempfile.gettempdir()) / "sidewalkreator_stream" \
+                / Path(sf_dir).name
+            stage.mkdir(parents=True, exist_ok=True)
+            dst = stage / "events.parquet"
+            if not dst.exists():
+                shutil.copy(f"{sf_dir}/events.parquet", dst)
         schema = spark.read.parquet(str(stage)).schema
-        ev = (spark.readStream.schema(schema).parquet(str(stage))
+        reader = spark.readStream.schema(schema)
+        if output_mode == "append":
+            reader = reader.option("maxFilesPerTrigger", "1")
+        ev = (reader.parquet(str(stage))
               .withColumn("ts", F.to_timestamp("ts")))
         ev = ev.withWatermark("ts", "10 minutes")
     else:
@@ -108,10 +172,19 @@ def sessionize_events(spark: SparkSession, sf_dir: str,
                 "n_events", "value_milli"]
     if not streaming:
         return agg.select(*out_cols)
-    name = f"events_sessions_{Path(sf_dir).name.replace('.', '_')}"
+    name = f"events_sessions_{Path(sf_dir).name.replace('.', '_')}" \
+        + ("_app" if output_mode == "append" else "")
     q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    return spark.table(name).select(*out_cols)
+    global LAST_SESSION_STREAM_STATE_ROWS
+    LAST_SESSION_STREAM_STATE_ROWS = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")]
+    out = spark.table(name)
+    if output_mode == "append":
+        out = out.filter(F.col("user_id") != _SENTINEL_USER)
+    return out.select(*out_cols)

@@ -401,3 +401,29 @@ def test_pipeline_max_split_len_g12():
     assert max(core.polyline_length(l)
                for l in split["sidewalks"]) <= 20.0 * 1.02
     assert len(split["sidewalks"]) > len(base["sidewalks"])
+
+
+def test_pipeline_dangle_iterations_g15(city):
+    """G15 N-pass parameter (reference dead_end_iters spinbox,
+    osm_sidewalkreator.py:803-810): a 2-deep stub chain hanging off
+    the lattice survives partially at N=1 (only the tip goes) and
+    disappears at N=2."""
+    segs, widths = city
+    chain = np.vstack([segs, [[500.0, 200.0, 560.0, 200.0],
+                              [560.0, 200.0, 620.0, 200.0]]])
+    cw = np.concatenate([widths, [6.0, 6.0]])
+
+    def stub_count(out):
+        # noding re-derives coordinates, so compare with tolerance
+        nd = out["noded"]
+        return int(((np.abs(nd[:, 1] - 200.0) < 1e-6)
+                    & (np.abs(nd[:, 3] - 200.0) < 1e-6)
+                    & (np.maximum(nd[:, 0], nd[:, 2]) > 500.0 + 1e-6)
+                    ).sum())
+
+    one = kernels.tile_pipeline(chain, cw, refine_lines=False,
+                                dangle_iterations=1)
+    two = kernels.tile_pipeline(chain, cw, refine_lines=False,
+                                dangle_iterations=2)
+    assert stub_count(one) == 1      # tip removed, middle piece stays
+    assert stub_count(two) == 0      # fixpoint reached at N=2

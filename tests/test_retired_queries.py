@@ -1,0 +1,56 @@
+"""Queries retired from the driver registry (curated to the ~50-row
+gate window) keep their coverage here: each still runs and its
+cheap-to-state invariants hold. The exact-oracle signal they used to
+carry is held by a registered sibling (see the queries() docstring).
+"""
+
+import pytest
+
+import __spark_entry__ as E
+from osm_sidewalkreator_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark(shuffle_partitions=8)
+
+
+def test_simhash_matches_md5_variant_shape(spark):
+    # algebra exactly gated by the registered q_simhash_md5
+    rows = E.q_simhash(spark, SF).limit(50).collect()
+    assert rows and all(r.simhash is not None for r in rows)
+
+
+def test_events_minutely_equals_streaming_rollup(spark):
+    # q_events_minutely shared q_events_streaming's oracle; assert the
+    # two engines' rollups are set-equal directly
+    a = {tuple(r) for r in E.q_events_minutely(spark, SF).collect()}
+    b = {tuple(r) for r in E.q_events_streaming(spark, SF).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_geocode_pages_covers_every_page(spark):
+    out = E.q_geocode_pages(spark, SF)
+    assert set(out.columns) == {"url", "x", "y"}
+    assert out.count() > 0
+    assert out.filter("x IS NULL OR y IS NULL").count() == 0
+
+
+def test_cosine_lsh_and_ivf_topk_contract(spark):
+    for q in (E.q_cosine_lsh, E.q_cosine_ivf):
+        df = q(spark, SF)
+        rows = df.collect()
+        assert rows
+        assert all(1 <= r.rank <= 5 for r in rows)
+        assert all(-1.0001 <= r.cosine <= 1.0001 for r in rows)
+
+
+def test_pipeline_stage_queries_still_run(spark):
+    # rows-only pipeline stages, each pinned by a registered exact
+    # geometry oracle (polygonize_lattice / ring_bbox /
+    # crossing_geometry+enlarge / golden_kerb_anchor)
+    for q in (E.q_protoblocks, E.q_sidewalk_rings, E.q_crossings,
+              E.q_kerbs):
+        assert q(spark, SF).count() > 0

@@ -284,14 +284,20 @@ def test_jaccard_df_cap_scale_guard(spark):
 
 
 def test_sessionize_stream_matches_batch(spark):
-    """Native session windows: the watermarked availableNow stream
-    materializes exactly the batch aggregation (SURVEY.md 2.9)."""
-    from osm_sidewalkreator_spark.streaming.events_stream import (
-        sessionize_events)
-    batch = {tuple(r) for r in sessionize_events(spark, SF).collect()}
+    """Native session windows: the watermarked APPEND-mode stream (the
+    production template — watermark evicts closed sessions) emits
+    exactly the batch aggregation on the bounded input, and its state
+    footprint SHRINKS once the sentinel advances the watermark past
+    every real session (SURVEY.md 2.9)."""
+    from osm_sidewalkreator_spark.streaming import events_stream as ES
+    batch = {tuple(r) for r in ES.sessionize_events(spark, SF).collect()}
     stream = {tuple(r) for r in
-              sessionize_events(spark, SF, streaming=True).collect()}
+              ES.sessionize_events(spark, SF, streaming=True).collect()}
     assert batch == stream and len(batch) > 300
+    state = ES.LAST_SESSION_STREAM_STATE_ROWS
+    # eviction proof: state does not grow across the final triggers and
+    # ends holding (at most) the sentinel's own session
+    assert len(state) >= 2 and state[-1] <= 1 and state[-1] < max(state)
 
 
 def test_embedding_neardup_lsh_subset(spark):
