@@ -238,37 +238,59 @@ def polygon_clip_intervals(segs: DataFrame, polys: DataFrame,
 def polygon_boundary_segments(polys: DataFrame, poly_id: str,
                               prefix: str) -> DataFrame:
     """Explode (multi)polygon WKB boundaries (shells + holes) into
-    2-point segments with a unique per-segment string key ``_sk``."""
+    2-point segments with a per-segment string key ``_sk``.
+
+    The WKB parse is per-polygon Python (unavoidable), but segments are
+    emitted as whole NumPy arrays per ring — no per-vertex loop. ``_sk``
+    is CONTENT-DERIVED (prefix + id + segment coordinates, concatenated
+    JVM-side): stable across plan re-evaluations (the segment frame
+    feeds both the interval kernel and the subtraction input, which are
+    separate evaluations), and collision-free across rows of the same
+    ``poly_id`` (e.g. a multipolygon stored as several rows) because
+    the coordinates participate. Exact-duplicate segments of one
+    polygon collapse to one key and receive the same — correct —
+    interval set."""
     import numpy as np
     import pandas as pd
 
     from ..geometry import wkb
 
     pid_t = polys.schema[poly_id].dataType.simpleString()
-    out_schema = (f"_sk string, {poly_id} {pid_t}, "
+    out_schema = (f"{poly_id} {pid_t}, "
                   "ax double, ay double, bx double, by double")
 
     def kernel(it):
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                k = 0
-                for po in wkb.decode_polygons(bytes(r["geometry"])):
+            segs, pids, counts = [], [], []
+            for pid, blob in zip(pdf[poly_id], pdf["geometry"]):
+                for po in wkb.decode_polygons(bytes(blob)):
                     for ring in po:
-                        a = ring
                         b = np.roll(ring, -1, axis=0)
-                        for (ax, ay), (bx, by) in zip(a, b):
-                            if ax != bx or ay != by:
-                                rows.append((f"{prefix}{r[poly_id]}#{k}",
-                                             r[poly_id], float(ax),
-                                             float(ay), float(bx),
-                                             float(by)))
-                                k += 1
-            yield pd.DataFrame(rows, columns=["_sk", poly_id, "ax", "ay",
-                                              "bx", "by"])
+                        m = (ring[:, 0] != b[:, 0]) \
+                            | (ring[:, 1] != b[:, 1])
+                        if m.any():
+                            segs.append(
+                                np.column_stack([ring[m], b[m]]))
+                            pids.append(pid)
+                            counts.append(int(m.sum()))
+            if not segs:
+                yield pd.DataFrame(
+                    columns=[poly_id, "ax", "ay", "bx", "by"])
+                continue
+            arr = np.concatenate(segs)
+            yield pd.DataFrame({
+                poly_id: np.repeat(np.array(pids, dtype=object),
+                                   counts),
+                "ax": arr[:, 0], "ay": arr[:, 1],
+                "bx": arr[:, 2], "by": arr[:, 3]})
 
-    return polys.select(poly_id, "geometry").mapInPandas(kernel,
-                                                         out_schema)
+    seg = polys.select(poly_id, "geometry").mapInPandas(kernel,
+                                                        out_schema)
+    return seg.withColumn(
+        "_sk", F.concat_ws(
+            "#", F.lit(prefix), F.col(poly_id).cast("string"),
+            F.col("ax").cast("string"), F.col("ay").cast("string"),
+            F.col("bx").cast("string"), F.col("by").cast("string")))
 
 
 def _assemble_faces(seg_arr, member_fn, snap=1e-7, eps=1e-4):
@@ -366,6 +388,12 @@ def polygon_overlay_polygons(a_polys: DataFrame, b_polys: DataFrame,
     from ..geometry import wkb
 
     spark = a_polys.sparkSession
+    # id dtypes flow from the input schemas (string ids etc. work the
+    # same as the boundary-segment path)
+    aid_t = a_polys.schema[a_id].dataType.simpleString()
+    bid_t = b_polys.schema[b_id].dataType.simpleString()
+    b_none = (-1 if bid_t in ("tinyint", "smallint", "int", "bigint",
+                              "float", "double") else None)
     aseg = polygon_boundary_segments(a_polys, a_id, "a")
     bseg = polygon_boundary_segments(b_polys, b_id, "b")
     bp = b_polys.select(F.col(b_id), "xmin", "ymin", "xmax", "ymax",
@@ -404,17 +432,21 @@ def polygon_overlay_polygons(a_polys: DataFrame, b_polys: DataFrame,
             cell_size))).select("cell", F.col(b_id).alias("_bid_own"),
                                 F.col("geometry").alias("b_wkb"))
         geoms = (ac.join(bc, "cell").drop("cell")
-                 .dropDuplicates(["_aid", "_bid_own"]))
+                 .dropDuplicates(["_aid", "_bid_own", "a_wkb", "b_wkb"]))
 
         def ikernel(key, pieces_pdf, geoms_pdf):
             cols = [a_id, b_id, "area", "perim"]
             if len(pieces_pdf) == 0 or len(geoms_pdf) == 0:
                 return pd.DataFrame(columns=cols)
             from ..geometry import core as _core
-            arings = [r for po in wkb.decode_polygons(
-                bytes(geoms_pdf["a_wkb"].iloc[0])) for r in po]
-            brings = [r for po in wkb.decode_polygons(
-                bytes(geoms_pdf["b_wkb"].iloc[0])) for r in po]
+            # an id may span several rows (multipolygon row-per-part):
+            # union every part's rings (even-odd over disjoint parts)
+            arings = [r for blob in geoms_pdf["a_wkb"].drop_duplicates()
+                      for po in wkb.decode_polygons(bytes(blob))
+                      for r in po]
+            brings = [r for blob in geoms_pdf["b_wkb"].drop_duplicates()
+                      for po in wkb.decode_polygons(bytes(blob))
+                      for r in po]
             segs = pieces_pdf[["px_a", "py_a", "px_b", "py_b"]] \
                 .to_numpy(np.float64)
 
@@ -432,7 +464,7 @@ def polygon_overlay_polygons(a_polys: DataFrame, b_polys: DataFrame,
         return (pieces.groupBy("_aid", "_bid_own")
                 .cogroup(geoms.groupBy("_aid", "_bid_own"))
                 .applyInPandas(ikernel,
-                               f"{a_id} long, {b_id} long, "
+                               f"{a_id} {aid_t}, {b_id} {bid_t}, "
                                "area double, perim double"))
 
     if op != "difference":
@@ -484,15 +516,16 @@ def polygon_overlay_polygons(a_polys: DataFrame, b_polys: DataFrame,
         F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
         cell_size))).select("cell", F.col("geometry").alias("b_wkb"))
     geoms = (ac.join(bc, "cell").drop("cell")
-             .dropDuplicates(["_aid", "b_wkb"]))
+             .dropDuplicates(["_aid", "a_wkb", "b_wkb"]))
 
     def dkernel(key, pieces_pdf, geoms_pdf):
         cols = [a_id, b_id, "area", "perim"]
         if len(pieces_pdf) == 0 or len(geoms_pdf) == 0:
             return pd.DataFrame(columns=cols)
         from ..geometry import core as _core
-        arings = [r for po in wkb.decode_polygons(
-            bytes(geoms_pdf["a_wkb"].iloc[0])) for r in po]
+        arings = [r for blob in geoms_pdf["a_wkb"].drop_duplicates()
+                  for po in wkb.decode_polygons(bytes(blob))
+                  for r in po]
         bring_sets = [
             [r for po in wkb.decode_polygons(bytes(blob)) for r in po]
             for blob in geoms_pdf["b_wkb"].drop_duplicates()]
@@ -507,14 +540,14 @@ def polygon_overlay_polygons(a_polys: DataFrame, b_polys: DataFrame,
             return not any(_core.points_in_polygon(xx, yy, br)[0]
                            for br in bring_sets)
 
-        rows = [(key[0], -1, a, p)
+        rows = [(key[0], b_none, a, p)
                 for a, p in _assemble_faces(segs, keep)]
         return pd.DataFrame(rows, columns=cols)
 
     return (pieces.groupBy("_aid")
             .cogroup(geoms.groupBy("_aid"))
             .applyInPandas(dkernel,
-                           f"{a_id} long, {b_id} long, "
+                           f"{a_id} {aid_t}, {b_id} {bid_t}, "
                            "area double, perim double"))
 
 

@@ -1030,7 +1030,8 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
                   remove_dead_ends: bool = True,
                   dangle_iterations: int = 1,
                   max_split_len: float | None = None,
-                  enlarge_crossings: bool = False) -> dict:
+                  enlarge_crossings: bool = False,
+                  export_snap: bool = False) -> dict:
     """Full geometry pipeline for one tile's street segments (local TM).
 
     ``sidewalk_tags``: optional dict of per-input-segment string arrays
@@ -1158,6 +1159,14 @@ def tile_pipeline(segs: np.ndarray, widths: np.ndarray,
         # duplicate-vertex removal (G14, tol 0.1) + small-stretch merge
         sidewalk_lines = [core.dedup_vertices(ln, P.DUPLICATE_POINTS_TOL)
                           for ln in sidewalk_lines]
+        # optional 3-pass export snap (J11 behaviors 0/5/1,
+        # osm_sidewalkreator.py:1087-1119); mutates crossing coords too
+        if export_snap and crossings:
+            cross_lines = [c["coords"] for c in crossings]
+            sidewalk_lines, cross_lines = refine.export_snap_sequence(
+                sidewalk_lines, cross_lines)
+            for c, cl in zip(crossings, cross_lines):
+                c["coords"] = cl
         sidewalk_lines = refine.merge_small_stretches(sidewalk_lines)
         # G12 (optional GUI stage, osm_sidewalkreator.py:3477-3491):
         # equal-piece split of each sidewalk line to <= max_split_len

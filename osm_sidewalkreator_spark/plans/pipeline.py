@@ -443,14 +443,34 @@ def load_context_tiled(spark: SparkSession, sf_dir: str,
             tile_size, pad=halo)))
 
 
+import threading
+
 _CACHED: list[DataFrame] = []
+_CACHE_LOCK = threading.Lock()
+# plans cached by the latest N generate_features calls stay persisted;
+# older ones are released. N=2 covers the documented concurrent-caller
+# shape (two unevaluated feature plans held at once) while keeping
+# bench warm-up + timed loops from accumulating storage. Each returned
+# plan also carries its own handle (``df._sw_cache``) so a caller
+# holding MORE than N unevaluated plans can re-persist or manage
+# lifetimes explicitly.
+_CACHE_KEEP = 2
 
 
 def release_cached() -> None:
-    """Unpersist DataFrames cached by earlier generate_features calls
-    (their cogroup plans have run by the time a new one is built)."""
-    while _CACHED:
-        _CACHED.pop().unpersist()
+    """Unpersist every DataFrame cached by earlier generate_features
+    calls (explicit all-plans-have-run release, e.g. end of a bench
+    loop)."""
+    with _CACHE_LOCK:
+        while _CACHED:
+            _CACHED.pop().unpersist()
+
+
+def _cache_push(df: DataFrame) -> None:
+    with _CACHE_LOCK:
+        _CACHED.append(df)
+        while len(_CACHED) > _CACHE_KEEP:
+            _CACHED.pop(0).unpersist()
 
 
 def generate_features(spark: SparkSession, sf_dir: str,
@@ -496,18 +516,20 @@ def generate_features(spark: SparkSession, sf_dir: str,
         # census + kernel input share one computation of the clipped/
         # exploded segments (the census would otherwise re-run the
         # whole upstream scan+clip+explode as a second pass). The cache
-        # must outlive this call (the cogroup plan executes later), so
-        # release the PREVIOUS invocation's cache here instead — bench
-        # warm-up + timed runs would otherwise accumulate storage.
-        release_cached()
+        # must outlive this call (the cogroup plan executes later):
+        # a bounded FIFO keeps the latest _CACHE_KEEP plans persisted
+        # and releases older ones (see _cache_push).
         tiled = tiled.persist()
-        _CACHED.append(tiled)
+        _cache_push(tiled)
+    cached = tiled if use_lpt else None
     mapping = _lpt_bucket_map(spark, tiled, n_part) if use_lpt else None
     if mapping is None:     # planet-sized tile census: hash placement
-        return (tiled.repartition(n_part, "tile").groupBy("tile")
-                .cogroup(ctx.repartition(n_part, "tile").groupBy("tile"))
-                .applyInPandas(make_tile_kernel(tile_size),
-                               FEATURE_SCHEMA))
+        out = (tiled.repartition(n_part, "tile").groupBy("tile")
+               .cogroup(ctx.repartition(n_part, "tile").groupBy("tile"))
+               .applyInPandas(make_tile_kernel(tile_size),
+                              FEATURE_SCHEMA))
+        out._sw_cache = cached   # caller-owned lifetime handle
+        return out
     # two separate map DFs: joining the same DF on both cogroup sides
     # trips the ambiguous-self-join check
     schema = "tile long, _bucket int"
@@ -515,10 +537,12 @@ def generate_features(spark: SparkSession, sf_dir: str,
         F.broadcast(spark.createDataFrame(mapping, schema)), "tile")
     ctx = ctx.join(
         F.broadcast(spark.createDataFrame(mapping, schema)), "tile")
-    return (tiled.repartition(n_part, "_bucket").groupBy("_bucket")
-            .cogroup(ctx.repartition(n_part, "_bucket")
-                     .groupBy("_bucket"))
-            .applyInPandas(make_bucket_kernel(tile_size), FEATURE_SCHEMA))
+    out = (tiled.repartition(n_part, "_bucket").groupBy("_bucket")
+           .cogroup(ctx.repartition(n_part, "_bucket")
+                    .groupBy("_bucket"))
+           .applyInPandas(make_bucket_kernel(tile_size), FEATURE_SCHEMA))
+    out._sw_cache = cached       # caller-owned lifetime handle
+    return out
 
 
 def features_4326(features: DataFrame) -> DataFrame:

@@ -104,37 +104,138 @@ def split_polyline_at_distances(line: np.ndarray, dists: list[float]
 
 
 def snap_lines_to_reference(lines: list[np.ndarray], ref_segs: np.ndarray,
-                            tol: float = P.SNAP_DISJOINTED_TOL
+                            tol: float = P.SNAP_DISJOINTED_TOL,
+                            behavior: int = 1,
+                            ref_nodes: np.ndarray | None = None,
+                            ref_owners: np.ndarray | None = None,
+                            line_owners: list | None = None
                             ) -> list[np.ndarray]:
     """Snap vertices onto nearby reference geometry (J11,
-    ``snap_layers`` generic_functions.py:230-305, tolerance 0.1-0.51 m):
-    each vertex within ``tol`` of a reference segment is projected onto
-    the closest point of the nearest one."""
+    ``snap_layers`` generic_functions.py:230-305, tolerance 0.1-0.51 m)
+    with the ``native:snapgeometries`` behavior codes the reference
+    actually uses (osm_sidewalkreator.py:1087-1119):
+
+    - ``behavior=1`` (prefer closest point, the previous sole mode):
+      each vertex within ``tol`` of a reference segment moves to the
+      closest point of the nearest one.
+    - ``behavior=0`` (prefer aligning nodes): a reference NODE within
+      ``tol`` wins over a nearer mid-segment point; only when no node
+      is in reach does the vertex fall back to the closest point.
+    - ``behavior=5`` (end points to end points only): only each line's
+      FIRST/LAST vertex moves, and only onto a reference node.
+
+    Vertex-move semantics only — the QGIS variants' "insert extra
+    vertices where required" refinement is not modeled (the engine's
+    corner/crossing splitting stages reintroduce shared vertices).
+
+    ``ref_nodes``: (k,2) node set for behaviors 0/5 (defaults to the
+    reference segment endpoints). ``ref_owners`` / ``line_owners``:
+    matching labels exclude a line's OWN segments+nodes — the
+    self-snap pass (sidewalks vs sidewalks) must not snap a line to
+    itself."""
     if len(ref_segs) == 0:
         return lines
-    out = []
     ax, ay = ref_segs[:, 0], ref_segs[:, 1]
     dx = ref_segs[:, 2] - ax
     dy = ref_segs[:, 3] - ay
     ll = dx * dx + dy * dy
     ll_safe = np.where(ll == 0, 1.0, ll)
-    for ln in lines:
-        px = ln[:, 0][:, None]
-        py = ln[:, 1][:, None]
-        t = ((px - ax) * dx + (py - ay) * dy) / ll_safe
-        t = np.where(ll == 0, 0.0, np.clip(t, 0.0, 1.0))
-        cx = ax + t * dx
-        cy = ay + t * dy
-        d = np.hypot(px - cx, py - cy)
-        k = np.argmin(d, axis=1)
-        rows = np.arange(len(ln))
-        best = d[rows, k]
+    if behavior in (0, 5):
+        if ref_nodes is None:
+            ref_nodes = np.concatenate([ref_segs[:, :2], ref_segs[:, 2:]])
+            node_owners = (np.concatenate([ref_owners, ref_owners])
+                           if ref_owners is not None else None)
+        else:
+            node_owners = None
+    out = []
+    for li, ln in enumerate(lines):
+        if behavior == 5:
+            vidx = np.array([0, len(ln) - 1]) if len(ln) > 1 \
+                else np.array([0])
+        else:
+            vidx = np.arange(len(ln))
+        px = ln[vidx, 0][:, None]
+        py = ln[vidx, 1][:, None]
         snapped = ln.copy()
-        hit = best <= tol
-        snapped[hit, 0] = cx[rows, k][hit]
-        snapped[hit, 1] = cy[rows, k][hit]
+        own = (line_owners[li] if line_owners is not None else None)
+
+        if behavior in (0, 5):
+            nd = np.hypot(px - ref_nodes[:, 0], py - ref_nodes[:, 1])
+            if own is not None and node_owners is not None:
+                nd[:, node_owners == own] = np.inf
+            nk = np.argmin(nd, axis=1)
+            rows_n = np.arange(len(vidx))
+            nbest = nd[rows_n, nk]
+            node_hit = nbest <= tol
+        else:
+            node_hit = np.zeros(len(vidx), dtype=bool)
+
+        if behavior in (0, 1):
+            t = ((px - ax) * dx + (py - ay) * dy) / ll_safe
+            t = np.where(ll == 0, 0.0, np.clip(t, 0.0, 1.0))
+            cx = ax + t * dx
+            cy = ay + t * dy
+            d = np.hypot(px - cx, py - cy)
+            if own is not None and ref_owners is not None:
+                d[:, ref_owners == own] = np.inf
+            k = np.argmin(d, axis=1)
+            rows = np.arange(len(vidx))
+            seg_hit = d[rows, k] <= tol
+        else:
+            seg_hit = np.zeros(len(vidx), dtype=bool)
+
+        if behavior in (0, 5):
+            h = node_hit
+            snapped[vidx[h], 0] = ref_nodes[nk[h], 0]
+            snapped[vidx[h], 1] = ref_nodes[nk[h], 1]
+        if behavior in (0, 1):
+            h = seg_hit & ~node_hit
+            snapped[vidx[h], 0] = cx[rows[h], k[h]]
+            snapped[vidx[h], 1] = cy[rows[h], k[h]]
         out.append(snapped)
     return out
+
+
+def export_snap_sequence(sidewalk_lines: list[np.ndarray],
+                         crossing_lines: list[np.ndarray],
+                         disjoint_tol: float = P.SNAP_DISJOINTED_TOL
+                         ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """The reference's 3-pass export snap (osm_sidewalkreator.py:
+    1087-1119): (1) sidewalks self-snap, behavior 0 (prefer nodes),
+    tolerance ``disjoint_tol + 0.01``; (2) crossings' END points onto
+    sidewalk line END points, behavior 5, tolerance 0.1; (3) sidewalks
+    onto the snapped crossings, behavior 1, tolerance 0.1. Returns the
+    (sidewalks, crossings) pair after all passes."""
+    from ..geometry import core
+
+    def explode(lines):
+        segs, owners = [], []
+        for i, ln in enumerate(lines):
+            s = core.explode_polyline_to_segments(ln)
+            if len(s):
+                segs.append(s)
+                owners.append(np.full(len(s), i))
+        if not segs:
+            return np.empty((0, 4)), np.empty(0, dtype=np.int64)
+        return np.concatenate(segs), np.concatenate(owners)
+
+    if sidewalk_lines:
+        segs, owners = explode(sidewalk_lines)
+        sidewalk_lines = snap_lines_to_reference(
+            sidewalk_lines, segs, tol=disjoint_tol + 0.01, behavior=0,
+            ref_owners=owners, line_owners=list(range(len(sidewalk_lines))))
+    if crossing_lines and sidewalk_lines:
+        sw_nodes = np.array([p for ln in sidewalk_lines
+                             for p in (ln[0], ln[-1])])
+        segs2, _ = explode(sidewalk_lines)
+        crossing_lines = snap_lines_to_reference(
+            crossing_lines, segs2, tol=0.1, behavior=5,
+            ref_nodes=sw_nodes)
+    if sidewalk_lines and crossing_lines:
+        csegs, _ = explode(crossing_lines)
+        sidewalk_lines = snap_lines_to_reference(
+            sidewalk_lines, csegs, tol=0.1, behavior=1)
+    return sidewalk_lines, crossing_lines
 
 
 def merge_small_stretches(lines: list[np.ndarray],

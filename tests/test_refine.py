@@ -85,3 +85,73 @@ def test_voronoi_split_block():
     # below the POI gate: untouched
     same = refine.voronoi_split_block([closed], pois[:2], ring)
     assert len(same) == 1
+
+
+def test_snap_behavior_0_prefers_nodes():
+    """J11 behavior 0: a reference NODE within tol beats a strictly
+    nearer mid-segment point."""
+    # vertex at (0.5, 0.3): mid-segment of ref is 0.3 away, ref node
+    # (0, 0) is ~0.58 away — both within tol=1.0; node must win
+    line = np.array([[0.5, 0.3], [5.0, 5.0]])
+    ref = np.array([[0.0, 0.0, 1.0, 0.0]])
+    b1 = refine.snap_lines_to_reference([line.copy()], ref, tol=1.0,
+                                        behavior=1)[0]
+    b0 = refine.snap_lines_to_reference([line.copy()], ref, tol=1.0,
+                                        behavior=0)[0]
+    assert np.allclose(b1[0], [0.5, 0.0])      # closest point
+    assert np.allclose(b0[0], [0.0, 0.0])      # node preferred
+    # beyond any node but within segment tol: behavior 0 falls back
+    line2 = np.array([[0.5, 0.3], [0.5, 5.0]])
+    b0f = refine.snap_lines_to_reference([line2.copy()], ref, tol=0.4,
+                                         behavior=0)[0]
+    assert np.allclose(b0f[0], [0.5, 0.0])
+
+
+def test_snap_behavior_5_endpoints_only():
+    """J11 behavior 5: only line END points move, and only onto
+    reference END points (never mid-segment)."""
+    line = np.array([[0.05, 0.1], [0.5, 0.1], [1.2, 0.1]])
+    ref = np.array([[0.0, 0.0, 1.0, 0.0]])
+    b5 = refine.snap_lines_to_reference([line.copy()], ref, tol=0.3,
+                                        behavior=5)[0]
+    assert np.allclose(b5[0], [0.0, 0.0])      # endpoint -> ref node
+    assert np.allclose(b5[1], [0.5, 0.1])      # interior untouched
+    assert np.allclose(b5[2], [1.0, 0.0])      # endpoint -> other node
+    # a mid-segment-only proximity does NOT snap in behavior 5
+    line2 = np.array([[0.5, 0.1], [0.5, 5.0]])
+    b5n = refine.snap_lines_to_reference([line2.copy()], ref, tol=0.3,
+                                         behavior=5)[0]
+    assert np.allclose(b5n[0], [0.5, 0.1])
+
+
+def test_snap_self_exclusion():
+    """Self-snap (pass 1 of the export sequence) must not snap a line
+    onto its own segments."""
+    lines = [np.array([[0.0, 0.0], [10.0, 0.0]]),
+             np.array([[0.0, 0.3], [10.0, 0.3]])]
+    segs = np.concatenate([
+        np.array([[0.0, 0.0, 10.0, 0.0]]),
+        np.array([[0.0, 0.3, 10.0, 0.3]])])
+    owners = np.array([0, 1])
+    out = refine.snap_lines_to_reference(
+        lines, segs, tol=0.5, behavior=0, ref_owners=owners,
+        line_owners=[0, 1])
+    # line 0 endpoints snap to line 1's nodes (not to itself at d=0)
+    assert np.allclose(out[0][0], [0.0, 0.3])
+    assert np.allclose(out[1][0], [0.0, 0.0])
+
+
+def test_export_snap_sequence_closes_gaps():
+    """The 3-pass sequence: disjoint sidewalk stretches within the
+    tolerance join at shared nodes, crossing tips land on sidewalk
+    endpoints, and sidewalks then meet the crossing."""
+    sw = [np.array([[0.0, 0.0], [5.0, 0.0]]),
+          np.array([[5.05, 0.02], [10.0, 0.0]])]   # 0.054 m gap
+    cross = [np.array([[5.11, 0.05], [5.1, 1.0], [5.1, 2.0],
+                       [5.1, 3.0], [5.1, 4.0]])]
+    sw2, cr2 = refine.export_snap_sequence(sw, cross, disjoint_tol=0.1)
+    # pass 1 (behavior 0, tol 0.11): the two facing endpoints coincide
+    assert np.allclose(sw2[0][-1], sw2[1][0])
+    # pass 2 (behavior 5): crossing tip sits exactly on a sidewalk node
+    tips = [tuple(np.round(p, 9)) for ln in sw2 for p in (ln[0], ln[-1])]
+    assert tuple(np.round(cr2[0][0], 9)) in tips

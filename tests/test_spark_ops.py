@@ -426,3 +426,39 @@ def test_simhash_portable_hamming_property(spark):
             votes[i] += 1 if (h >> i) & 1 else -1
     expect = sum(1 << i for i in range(64) if votes[i] > 0)
     assert out[0] == expect
+
+
+def test_polygon_overlay_string_ids_and_multirow(spark):
+    """Id dtypes flow from the input schema (string ids work), and a
+    poly_id spanning MULTIPLE rows (multipolygon stored row-per-part)
+    keeps its parts' intervals separate (content-derived _sk)."""
+    from osm_sidewalkreator_spark.geometry import wkb as WKB
+    from osm_sidewalkreator_spark.operators.overlay import (
+        polygon_overlay_polygons)
+
+    def poly_row(pid, x0, y0, wdt, hgt):
+        ring = np.array([[x0, y0], [x0 + wdt, y0], [x0 + wdt, y0 + hgt],
+                         [x0, y0 + hgt], [x0, y0]])
+        return (pid, float(x0), float(y0), float(x0 + wdt),
+                float(y0 + hgt), bytearray(WKB.polygon_wkb(ring)))
+
+    schema = ("a_id string, xmin double, ymin double, xmax double, "
+              "ymax double, geometry binary")
+    # one logical A as TWO disjoint rows sharing the id
+    a = spark.createDataFrame(
+        [poly_row("alpha", 0.3, 0.7, 40, 40),
+         poly_row("alpha", 60.3, 0.7, 40, 40)], schema)
+    b = spark.createDataFrame(
+        [poly_row("bee", 10.5, 10.9, 20, 20)],
+        schema.replace("a_id", "b_id"))
+    inter = polygon_overlay_polygons(a, b, op="intersection",
+                                     a_id="a_id", b_id="b_id")
+    rows = inter.collect()
+    assert rows and rows[0]["a_id"] == "alpha" \
+        and rows[0]["b_id"] == "bee"
+    assert abs(sum(r["area"] for r in rows) - 400) < 1e-3
+    diff = polygon_overlay_polygons(a, b, op="difference",
+                                    a_id="a_id", b_id="b_id")
+    drows = diff.collect()
+    assert all(r["b_id"] is None for r in drows)
+    assert abs(sum(r["area"] for r in drows) - (3200 - 400)) < 1e-3
