@@ -40,7 +40,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .gridhash import join_points_to_boxes
+from .gridhash import _cell_key, _gather_ranges, explode_bbox_cells
 from .noding import SNAP, dedup_undirected, node_segments
 
 EPS_ON = 5e-5    # on-boundary band, m (must exceed snap displacement)
@@ -158,9 +158,34 @@ class ConvexSet:
             el = np.hypot(self._ex, self._ey)
             self._degen = el == 0
             self._el = np.where(self._degen, 1.0, el)
+            self._iel = 1.0 / self._el   # multiply beats divide in the
+            # (pairs x nverts) depth matrix, the kernel's hottest loop
         else:
             self.boxes = np.empty((0, 4))
             self.bin = 1.0
+        self._cells = None       # lazily-built sorted (cells, owners)
+        self._pad_cache = 0.0
+
+    def _cell_index(self, pad: float) -> tuple[np.ndarray, np.ndarray]:
+        """Sorted (cell_keys, owners) for boxes padded by >= ``pad``.
+
+        A ConvexSet is queried 2-4x per region extraction (prune +
+        classify passes of each region_boundary it joins); re-exploding
+        and re-sorting the box cells each time dominated the prefilter
+        cost. The index is built once with a pad ceiling that covers
+        every pad the pipeline uses (0 or EPS_ON) — a too-large cell
+        pad only widens the candidate superset; the exact bbox check in
+        ``query`` applies the caller's actual pad, so results are
+        bit-identical to the uncached path."""
+        if self._cells is None or pad > self._pad_cache:
+            self._pad_cache = max(pad, 1e-3)
+            boxes = self.boxes.copy()
+            boxes[:, :2] -= self._pad_cache
+            boxes[:, 2:] += self._pad_cache
+            owners, cells = explode_bbox_cells(boxes, self.bin)
+            order = np.argsort(cells, kind="stable")
+            self._cells = (cells[order], owners[order])
+        return self._cells
 
     def query(self, px: np.ndarray, py: np.ndarray, pad: float
               ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -170,15 +195,24 @@ class ConvexSet:
         if len(self.polys) == 0 or len(px) == 0:
             z = np.empty(0, np.int64)
             return z, z, np.empty(0), np.empty((0, 2))
-        boxes = self.boxes.copy()
-        boxes[:, :2] -= pad
-        boxes[:, 2:] += pad
-        pi, si = join_points_to_boxes(px, py, boxes, self.bin)
+        cells_s, owners_s = self._cell_index(pad)
+        pk = _cell_key(np.floor(px / self.bin).astype(np.int64),
+                       np.floor(py / self.bin).astype(np.int64))
+        lo = np.searchsorted(cells_s, pk, side="left")
+        hi = np.searchsorted(cells_s, pk, side="right")
+        pi, idx = _gather_ranges(lo, hi)
+        si = owners_s[idx]
+        if len(pi):
+            keep = ((px[pi] >= self.boxes[si, 0] - pad)
+                    & (px[pi] <= self.boxes[si, 2] + pad)
+                    & (py[pi] >= self.boxes[si, 1] - pad)
+                    & (py[pi] <= self.boxes[si, 3] + pad))
+            pi, si = pi[keep], si[keep]
         if len(pi) == 0:
             z = np.empty(0, np.int64)
             return z, z, np.empty(0), np.empty((0, 2))
         vx, vy = self.polys[si, :, 0], self.polys[si, :, 1]
-        ex, ey, el = self._ex[si], self._ey[si], self._el[si]
+        ex, ey, iel = self._ex[si], self._ey[si], self._iel[si]
         # signed dist to edge lines, reusing the gather buffers as
         # scratch: these (pairs x nverts) temporaries dominate the
         # kernel's allocation traffic, which is what caps multi-core
@@ -187,7 +221,7 @@ class ConvexSet:
         qy = np.subtract(py[pi][:, None], vy, out=vy)
         d = np.multiply(ex, qy, out=qy)
         d -= np.multiply(ey, qx, out=qx)
-        d /= el
+        d *= iel
         if self._degen.any():
             d = np.where(self._degen[si], np.inf, d)
         k = np.argmin(d, axis=1)
@@ -195,8 +229,8 @@ class ConvexSet:
         depth = d[rows, k]
         keep = depth > -pad
         pi, si, depth, k, rows = pi[keep], si[keep], depth[keep], k[keep], rows[keep]
-        mdir = np.column_stack([ex[rows, k] / el[rows, k],
-                                ey[rows, k] / el[rows, k]])
+        mdir = np.column_stack([ex[rows, k] * iel[rows, k],
+                                ey[rows, k] * iel[rows, k]])
         return pi, si, depth, mdir
 
 

@@ -10,9 +10,19 @@ uniform grid hash (the R-tree prefilter analog of
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 SNAP = 1e-5  # coordinate snap grid, meters (0.01 mm)
+
+
+@lru_cache(maxsize=512)
+def _triu_cached(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached ``np.triu_indices`` — group sizes repeat heavily (disc
+    arcs bucket whole rings into one cell), and rebuilding the index
+    per group was a measured hotspot. Callers only read the arrays."""
+    return np.triu_indices(n, k=k)
 
 
 def snap_round(a: np.ndarray, snap: float = SNAP) -> np.ndarray:
@@ -55,14 +65,18 @@ def _candidate_pairs(segs: np.ndarray, bin_size: float) -> np.ndarray:
         same = np.flatnonzero(cells_s[:-d] == cells_s[d:])
         if len(same):
             pairs.append(np.column_stack([segs_s[same], segs_s[same + d]]))
-    # rare large groups: explicit triangular enumeration
+    # rare large groups: explicit triangular enumeration (k=cap gives
+    # exactly the offsets the scan above did not cover)
     if max_run > small_cap:
+        gi, gj = [], []
         for g in np.flatnonzero(sizes > small_cap):
             s = starts[g]
             grp = segs_s[s:s + sizes[g]]
-            ii, jj = np.triu_indices(len(grp), k=1)
-            keep = jj - ii >= small_cap  # offsets < cap already covered
-            pairs.append(np.column_stack([grp[ii[keep]], grp[jj[keep]]]))
+            ii, jj = _triu_cached(len(grp), small_cap)
+            gi.append(grp[ii])
+            gj.append(grp[jj])
+        pairs.append(np.column_stack([np.concatenate(gi),
+                                      np.concatenate(gj)]))
     if not pairs:
         return np.empty((0, 2), dtype=np.int64)
     pr = np.concatenate(pairs)
@@ -90,7 +104,7 @@ def node_segments(segs: np.ndarray, snap: float = SNAP
     segs = np.asarray(segs, dtype=np.float64)
     if len(segs) == 0:
         return segs.reshape(0, 4), np.empty(0, dtype=np.int64)
-    segs = np.column_stack([snap_round(segs[:, i], snap) for i in range(4)])
+    segs = snap_round(segs, snap)
     lens = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
     keep = lens > 0
     segs = segs[keep]
