@@ -168,19 +168,29 @@ def _report(lo, hi, sf_dir, n):
             "pipeline on the 4x input (114,734 streets, ~2,300 tiles, "
             "963,914 features), N -> 4N at two operating points:",
             "",
-            "| pair | T_N (s) | T_4N (s) | steal N/4N % | efficiency |",
-            "|---|---|---|---|---|",
+            "ALL steal-gated clean pairs, in measurement order "
+            "(BENCH/PIPE4.json):",
+            "",
+            "| pair | T_N (s) | T_4N (s) | steal N/4N % | efficiency | "
+            "same-window burn ceiling | eff / ceiling |",
+            "|---|---|---|---|---|---|---|",
         ]
         for p in p4["pairs"]:
             e4 = round((p["t_low"] / p["t_high"]) / 4, 3)
+            label = f"{p['n_low']} -> {p['n_high']}"
+            if p.get("label"):
+                label += f" ({p['label']})"
+            ceil = p.get("burn_ceiling_same_window", "—")
+            rel = p.get("eff_vs_ceiling", "—")
+            if isinstance(rel, float) and rel >= 0.79:
+                rel = f"**{rel}**"
             md.append(
-                f"| {p['n_low']} -> {p['n_high']} | {p['t_low']} | "
+                f"| {label} | {p['t_low']} | "
                 f"{p['t_high']} | {p['steal_low']} / {p['steal_high']} "
-                f"| **{e4}** |")
-        md += [
-            "",
-            p4.get("note", ""),
-        ]
+                f"| {'**' + str(e4) + '**' if e4 >= 0.8 else e4} "
+                f"| {ceil} | {rel} |")
+        md += ["", para] if (para := p4.get("analysis")) else [
+            "", p4.get("note", "")]
     md += [
         "",
         "## Small-scale suite reference (sf0.1 — latency-bound)",
