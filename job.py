@@ -40,7 +40,22 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/sidewalk_job")
     ap.add_argument("--tile-size", type=float, default=P.TILE_SIZE_M)
     ap.add_argument("--halo", type=float, default=P.TILE_HALO_M)
+    # optional GUI-parity stages (reference spinbox/checkbox knobs)
+    ap.add_argument("--dangle-iterations", type=int, default=1,
+                    help="dead-end removal passes (reference "
+                    "dead_end_iters spinbox)")
+    ap.add_argument("--max-split-len", type=float, default=None,
+                    help="split sidewalk lines to <= this length (G12)")
+    ap.add_argument("--enlarge-crossings", action="store_true",
+                    help="GUI ray-enlargement loop for crossings")
+    ap.add_argument("--export-snap", action="store_true",
+                    help="3-pass export snap sequence (J11 behaviors "
+                    "0/5/1)")
     args = ap.parse_args(argv)
+    pipe_opts = dict(dangle_iterations=args.dangle_iterations,
+                     max_split_len=args.max_split_len,
+                     enlarge_crossings=args.enlarge_crossings,
+                     export_snap=args.export_snap)
 
     spark = get_spark(app="sidewalkreator_job")
     out = Path(args.out)
@@ -58,7 +73,7 @@ def main(argv=None):
         F.least("ax", "bx"), F.least("ay", "by"),
         F.greatest("ax", "bx"), F.greatest("ay", "by"),
         args.tile_size, pad=args.halo)))
-    k3 = PL.make_tile_kernel(args.tile_size)
+    k3 = PL.make_tile_kernel(args.tile_size, **pipe_opts)
     ctx = PL.load_context_tiled(spark, args.sf_dir, args.tile_size,
                                 args.halo)
     feats = run_tiled_job(

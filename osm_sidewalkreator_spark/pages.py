@@ -25,8 +25,8 @@ ZIPF_EXPONENT = 3  # u^3 concentration: ~top block gets ~10x median
 
 
 def load_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    synth = ensure_synth(sf_dir)
-    return spark.read.parquet(str(synth / "pages.parquet"))
+    from .sources.catalog import load_table
+    return load_table(spark, sf_dir, "pages")
 
 
 def geocode_pages(pages: DataFrame, sf_dir: str) -> DataFrame:

@@ -33,8 +33,8 @@ WIDTHS_ITEMS = sorted(P.DEFAULT_WIDTHS.items())
 
 
 def load_streets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    synth = ensure_synth(sf_dir)
-    return spark.read.parquet(str(synth / "streets.parquet"))
+    from ..sources.catalog import load_table
+    return load_table(spark, sf_dir, "streets")
 
 
 def clip_to_aoi(streets: DataFrame, spark: SparkSession, sf_dir: str
@@ -192,12 +192,13 @@ def _owns(x: float, y: float, b) -> bool:
     return b[0] <= x < b[2] and b[1] <= y < b[3]
 
 
-def make_bucket_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
+def make_bucket_kernel(tile_size: float, halo: float = P.TILE_HALO_M,
+                       **pipe_opts):
     """Cogrouped kernel over a cost-balanced BUCKET of tiles: runs the
     per-tile kernel for each tile sub-group. Used by the LPT placement
     in ``generate_features`` (the per-tile Python loop is over ~4-5
     tiles, negligible next to the kernels themselves)."""
-    tk = make_tile_kernel(tile_size, halo)
+    tk = make_tile_kernel(tile_size, halo, **pipe_opts)
     empty = pd.DataFrame()
 
     def kernel(key, pdf: pd.DataFrame, ctx: pd.DataFrame) -> pd.DataFrame:
@@ -267,7 +268,8 @@ def _lpt_bucket_map(spark: SparkSession, tiled: DataFrame, n_part: int
     return mapping
 
 
-def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
+def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M,
+                     **pipe_opts):
     """Cogrouped applyInPandas kernel: run the per-tile geometry pipeline
     (streets cogrouped with building-segment/POI context) and emit
     kind-tagged features owned by this tile's core square.
@@ -275,6 +277,10 @@ def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
     Inputs are clipped to the halo box first: halo > influence radius
     guarantees owned features are unaffected, and clipping bounds the
     per-tile work even when a continental-length way's pieces land here.
+
+    ``pipe_opts`` forward to ``kernels.tile_pipeline`` (the optional GUI
+    parity stages: ``dangle_iterations``, ``max_split_len``,
+    ``enlarge_crossings``, ``export_snap``).
     """
 
     def kernel(key, pdf: pd.DataFrame, ctx: pd.DataFrame) -> pd.DataFrame:
@@ -319,7 +325,7 @@ def make_tile_kernel(tile_size: float, halo: float = P.TILE_HALO_M):
         out = kernels.tile_pipeline(
             segs, widths, tags or None, building_segs=building_segs,
             pois=pois, way_ids=pdf["osm_id"].to_numpy(dtype=object),
-            existing_sw=existing_sw, bounds=hbox)
+            existing_sw=existing_sw, bounds=hbox, **pipe_opts)
         rows = []
 
         def emit(kind, fid, geom, length, area, ref_id, cx, cy,
@@ -475,12 +481,15 @@ def _cache_push(df: DataFrame) -> None:
 
 def generate_features(spark: SparkSession, sf_dir: str,
                       tile_size: float = P.TILE_SIZE_M,
-                      halo: float = P.TILE_HALO_M) -> DataFrame:
+                      halo: float = P.TILE_HALO_M,
+                      **pipe_opts) -> DataFrame:
     """End-to-end: streets -> per-tile sidewalk/crossing/kerb/protoblock
     features (local-TM WKB) with halo-overlap tiling + ownership dedup.
 
     Streets are cogrouped per tile with building segments + POIs (the
     context side of the width-shrink and Voronoi-splitting stages).
+    ``pipe_opts`` forward to ``kernels.tile_pipeline`` (optional GUI
+    parity stages, see ``make_tile_kernel``).
     """
     streets = load_streets(spark, sf_dir)
     streets = clip_to_aoi(streets, spark, sf_dir)
@@ -526,7 +535,7 @@ def generate_features(spark: SparkSession, sf_dir: str,
     if mapping is None:     # planet-sized tile census: hash placement
         out = (tiled.repartition(n_part, "tile").groupBy("tile")
                .cogroup(ctx.repartition(n_part, "tile").groupBy("tile"))
-               .applyInPandas(make_tile_kernel(tile_size),
+               .applyInPandas(make_tile_kernel(tile_size, **pipe_opts),
                               FEATURE_SCHEMA))
         out._sw_cache = cached   # caller-owned lifetime handle
         return out
@@ -540,7 +549,8 @@ def generate_features(spark: SparkSession, sf_dir: str,
     out = (tiled.repartition(n_part, "_bucket").groupBy("_bucket")
            .cogroup(ctx.repartition(n_part, "_bucket")
                     .groupBy("_bucket"))
-           .applyInPandas(make_bucket_kernel(tile_size), FEATURE_SCHEMA))
+           .applyInPandas(make_bucket_kernel(tile_size, **pipe_opts),
+                          FEATURE_SCHEMA))
     out._sw_cache = cached       # caller-owned lifetime handle
     return out
 

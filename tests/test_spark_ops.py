@@ -462,3 +462,27 @@ def test_polygon_overlay_string_ids_and_multirow(spark):
     drows = diff.collect()
     assert all(r["b_id"] is None for r in drows)
     assert abs(sum(r["area"] for r in drows) - (3200 - 400)) < 1e-3
+
+
+def test_catalog_table_seam(spark):
+    """sources/catalog.load_table routes through spark.read.table when
+    a prefix is configured (the Iceberg production path — a temp view
+    resolves the same way) and falls back to sf_dir parquet when not."""
+    from osm_sidewalkreator_spark.pages import load_pages
+    from osm_sidewalkreator_spark.sources.catalog import (
+        PREFIX_CONF, load_table)
+
+    marker = spark.range(3).withColumnRenamed("id", "url")
+    marker.createOrReplaceTempView("cat_seam_pages")
+    spark.conf.set(PREFIX_CONF, "cat_seam_")
+    try:
+        via_catalog = load_table(spark, SF, "pages")
+        assert via_catalog.columns == ["url"]
+        assert via_catalog.count() == 3
+    finally:
+        spark.conf.unset(PREFIX_CONF)
+    # fallback: the real parquet pages table (full input_hint schema)
+    parquet = load_pages(spark, SF)
+    assert {"url", "warc_ts", "html", "text", "lang"} <= set(
+        parquet.columns)
+    assert parquet.count() > 0
