@@ -486,3 +486,54 @@ def test_catalog_table_seam(spark):
     assert {"url", "warc_ts", "html", "text", "lang"} <= set(
         parquet.columns)
     assert parquet.count() > 0
+
+
+def test_rasterize_segments_bruteforce(spark):
+    """Vector->raster burn agrees with a dense NumPy reference
+    (per-cell exact clipped length), incl. negative cells, axis-aligned
+    and cell-interior segments."""
+    from osm_sidewalkreator_spark.operators.raster import (
+        rasterize_segments)
+
+    rng = np.random.default_rng(7)
+    segs = rng.uniform(-40, 40, size=(60, 4))
+    segs[0] = [-3.0, 2.0, 17.0, 2.0]      # axis-aligned (dy == 0)
+    segs[1] = [5.5, -8.0, 5.5, 9.0]       # vertical (dx == 0)
+    segs[2] = [3.1, 3.2, 3.9, 3.8]        # strictly inside one cell
+    cs = 10.0
+    df = spark.createDataFrame(
+        [tuple(map(float, r)) for r in segs],
+        "ax double, ay double, bx double, by double")
+    got = {(r["cell_x"], r["cell_y"]): (r["n_segs"], r["len_m"])
+           for r in rasterize_segments(df, cs).collect()}
+
+    expect = {}
+    for ax, ay, bx, by in segs:
+        dx, dy = bx - ax, by - ay
+        ln = np.hypot(dx, dy)
+        for ix in range(int(np.floor(min(ax, bx) / cs)),
+                        int(np.floor(max(ax, bx) / cs)) + 1):
+            for iy in range(int(np.floor(min(ay, by) / cs)),
+                            int(np.floor(max(ay, by) / cs)) + 1):
+                lo, hi = 0.0, 1.0
+                ok = True
+                for p0, d, c0 in ((ax, dx, ix * cs), (ay, dy, iy * cs)):
+                    if d != 0:
+                        t_a = (c0 - p0) / d
+                        t_b = (c0 + cs - p0) / d
+                        lo = max(lo, min(t_a, t_b))
+                        hi = min(hi, max(t_a, t_b))
+                    elif not (c0 <= p0 <= c0 + cs):
+                        ok = False
+                w = max(hi - lo, 0.0) * ln if ok else 0.0
+                if w > 0:
+                    n, s = expect.get((ix, iy), (0, 0.0))
+                    expect[(ix, iy)] = (n + 1, s + w)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 1e-9
+    # conservation: total burned length == total segment length
+    assert abs(sum(v[1] for v in got.values())
+               - sum(np.hypot(s[2] - s[0], s[3] - s[1])
+                     for s in segs)) < 1e-8
