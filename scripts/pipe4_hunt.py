@@ -130,10 +130,18 @@ def main():
             # on the oversubscribed leg)
             bh, sbh = _burn_leg(n_high)
             bl, sbl = _burn_leg(n_low)
+            # same-window BANDWIDTH ceiling (stream_control.py): the
+            # kernel is memory-heavy; a register spin can't see shared
+            # memory-system contention
+            sys.path.insert(0, str(REPO / "scripts"))
+            from stream_control import leg as _stream_leg
+            gh, sgh = _stream_leg(n_high, 256)
+            gl, sgl = _stream_leg(n_low, 256)
         finally:
             LOCK.unlink(missing_ok=True)
         eff = (lo["seconds"] / hi["seconds"]) / (n_high / n_low)
         ceiling = (bh / bl) / (n_high / n_low)
+        bw_ceiling = (gh / gl) / (n_high / n_low)
         pair = {"n_low": n_low, "n_high": n_high,
                 "t_low": lo["seconds"], "t_high": hi["seconds"],
                 "rows_low": lo["rows"], "rows_high": hi["rows"],
@@ -143,6 +151,10 @@ def main():
                 "burn_steal": {"low": round(sbl, 2),
                                "high": round(sbh, 2)},
                 "eff_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+                "bandwidth_ceiling_same_window": round(bw_ceiling, 3),
+                "stream_gib_s": {"low": round(gl, 2), "high": round(gh, 2)},
+                "stream_steal": {"low": round(sgl, 2),
+                                 "high": round(sgh, 2)},
                 "ts": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}
         p4 = REPO / "BENCH" / "PIPE4.json"
         data = json.loads(p4.read_text()) if p4.exists() else {"pairs": []}

@@ -172,8 +172,9 @@ def _report(lo, hi, sf_dir, n):
             "(BENCH/PIPE4.json):",
             "",
             "| pair | T_N (s) | T_4N (s) | steal N/4N % | efficiency | "
-            "same-window burn ceiling | eff / ceiling |",
-            "|---|---|---|---|---|---|---|",
+            "same-window burn ceiling | eff / ceiling | same-window "
+            "bandwidth ceiling |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for p in p4["pairs"]:
             e4 = round((p["t_low"] / p["t_high"]) / 4, 3)
@@ -184,11 +185,12 @@ def _report(lo, hi, sf_dir, n):
             rel = p.get("eff_vs_ceiling", "—")
             if isinstance(rel, float) and rel >= 0.79:
                 rel = f"**{rel}**"
+            bw = p.get("bandwidth_ceiling_same_window", "—")
             md.append(
                 f"| {label} | {p['t_low']} | "
                 f"{p['t_high']} | {p['steal_low']} / {p['steal_high']} "
                 f"| {'**' + str(e4) + '**' if e4 >= 0.8 else e4} "
-                f"| {ceil} | {rel} |")
+                f"| {ceil} | {rel} | {bw} |")
         md += ["", para] if (para := p4.get("analysis")) else [
             "", p4.get("note", "")]
     md += [
@@ -290,6 +292,41 @@ def _report(lo, hi, sf_dir, n):
             f"{b['n_high']} full cores, so NO workload can reach "
             "efficiency 1.0 here; read the Spark numbers against this "
             "ceiling (observed 0.74-0.87 depending on the window).",
+        ]
+    st_path = bench_dir / "STREAM_CONTROL.json"
+    if st_path.exists():
+        st = json.loads(st_path.read_text())
+        md += [
+            "",
+            "## Memory-bandwidth ceiling (scripts/stream_control.py)",
+            "",
+            "The geometry kernel is memory-heavy, and a register-spin "
+            "burn cannot see co-tenant MEMORY contention — this "
+            "control measures it directly: each process repeatedly "
+            "streams a larger-than-cache array; aggregate GiB/s at "
+            "n_low vs n_high gives the per-core-normalized bandwidth "
+            "scaling the host actually delivers.",
+            "",
+            "| when | GiB/s @1 | @n_low | @n_high | steal @n_high % | "
+            "bandwidth ceiling |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in st["runs"]:
+            g = r["gib_s"]
+            md.append(
+                f"| {r['ts']} | {g.get('1', '—')} | "
+                f"{g[str(r['n_low'])]} | {g[str(r['n_high'])]} | "
+                f"{r['steal_pct'][str(r['n_high'])]} | "
+                f"**{r['bandwidth_ceiling']}** |")
+        md += [
+            "",
+            "A bandwidth ceiling BELOW the pipeline's measured "
+            "efficiency means the pipeline out-scales the host's own "
+            "memory system in that window: no memory-touching workload "
+            "could reach 0.8 there, and the shortfall is the shared "
+            "VM, not the plan. (Aggregate bandwidth DROPPING from "
+            "n_low to n_high, with steal induced only on the wide "
+            "leg, is the co-tenant squeeze made visible.)",
         ]
     mp = None
     mp_path = bench_dir / "MP_CONTROL.json"
