@@ -46,6 +46,11 @@ from .noding import SNAP, dedup_undirected, node_segments
 EPS_ON = 5e-5    # on-boundary band, m (must exceed snap displacement)
 EPS_COLL = 1e-6  # sin(angle) floor for collinearity
 
+# ConvexSet.query block size in MATRIX CELLS (pairs*nverts): ~32k cells
+# x 8 B x ~4 live temporaries ~ 1 MB — inside per-core L2 on any
+# plausible host, far under shared L3
+_QUERY_CHUNK = 32768
+
 
 # ---------- convex member construction ----------
 
@@ -211,27 +216,43 @@ class ConvexSet:
         if len(pi) == 0:
             z = np.empty(0, np.int64)
             return z, z, np.empty(0), np.empty((0, 2))
-        vx, vy = self.polys[si, :, 0], self.polys[si, :, 1]
-        ex, ey, iel = self._ex[si], self._ey[si], self._iel[si]
-        # signed dist to edge lines, reusing the gather buffers as
-        # scratch: these (pairs x nverts) temporaries dominate the
-        # kernel's allocation traffic, which is what caps multi-core
-        # scaling (page-fault churn), so compute in place
-        qx = np.subtract(px[pi][:, None], vx, out=vx)
-        qy = np.subtract(py[pi][:, None], vy, out=vy)
-        d = np.multiply(ex, qy, out=qy)
-        d -= np.multiply(ey, qx, out=qx)
-        d *= iel
-        if self._degen.any():
-            d = np.where(self._degen[si], np.inf, d)
-        k = np.argmin(d, axis=1)
-        rows = np.arange(len(pi))
-        depth = d[rows, k]
-        keep = depth > -pad
-        pi, si, depth, k, rows = pi[keep], si[keep], depth[keep], k[keep], rows[keep]
-        mdir = np.column_stack([ex[rows, k] * iel[rows, k],
-                                ey[rows, k] * iel[rows, k]])
-        return pi, si, depth, mdir
+        # signed dist to edge lines, computed in cache-resident CHUNKS:
+        # the (pairs x nverts) temporaries would otherwise stream
+        # hundreds of MB through DRAM per query, and the measured
+        # scaling limiter on wide runs is shared memory bandwidth
+        # (BENCH/STREAM_CONTROL.json) — blocking keeps each temporary
+        # in L2/L3 across its ~6 elementwise passes. Per-row argmin is
+        # independent, so chunked results are bit-identical.
+        nv = self.polys.shape[1]
+        step = max(1, _QUERY_CHUNK // max(nv, 1))
+        out_pi, out_si, out_depth, out_mdir = [], [], [], []
+        for s0 in range(0, len(pi), step):
+            cpi = pi[s0:s0 + step]
+            csi = si[s0:s0 + step]
+            vx, vy = self.polys[csi, :, 0], self.polys[csi, :, 1]
+            ex, ey, iel = self._ex[csi], self._ey[csi], self._iel[csi]
+            qx = np.subtract(px[cpi][:, None], vx, out=vx)
+            qy = np.subtract(py[cpi][:, None], vy, out=vy)
+            d = np.multiply(ex, qy, out=qy)
+            d -= np.multiply(ey, qx, out=qx)
+            d *= iel
+            if self._degen.any():
+                d = np.where(self._degen[csi], np.inf, d)
+            k = np.argmin(d, axis=1)
+            rows = np.arange(len(cpi))
+            depth = d[rows, k]
+            keep = depth > -pad
+            rows = rows[keep]
+            k = k[keep]
+            out_pi.append(cpi[keep])
+            out_si.append(csi[keep])
+            out_depth.append(depth[keep])
+            out_mdir.append(np.column_stack(
+                [ex[rows, k] * iel[rows, k], ey[rows, k] * iel[rows, k]]))
+        if len(out_pi) == 1:
+            return out_pi[0], out_si[0], out_depth[0], out_mdir[0]
+        return (np.concatenate(out_pi), np.concatenate(out_si),
+                np.concatenate(out_depth), np.concatenate(out_mdir))
 
 
 @dataclass

@@ -350,6 +350,22 @@ def _report(lo, hi, sf_dir, n):
             "session.py (page-fault churn capped scaling at ~0.68 "
             "before).",
         ]
+        if mp.get("samples"):
+            effs = [s["efficiency"] for s in mp["samples"]]
+            md += [
+                "",
+                f"Back-to-back samples (same binary, same tiles): "
+                f"{', '.join(str(e) for e in effs)} — spread is "
+                "host-window variance."
+                + (f" Pre-cache-blocking baseline: "
+                   f"{mp['pre_chunking']['efficiency']} "
+                   f"(32-wide wall {mp['pre_chunking']['walls']['32']}"
+                   " s vs "
+                   + "/".join(str(s['walls']['32'])
+                              for s in mp['samples'][:3])
+                   + " s after)." if mp.get("pre_chunking") else "")
+                + (" " + mp["note"] if mp.get("note") else ""),
+            ]
     md += [
         "",
         "## Reference comparison",
