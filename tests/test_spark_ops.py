@@ -537,3 +537,24 @@ def test_rasterize_segments_bruteforce(spark):
     assert abs(sum(v[1] for v in got.values())
                - sum(np.hypot(s[2] - s[0], s[3] - s[1])
                      for s in segs)) < 1e-8
+
+
+def test_generate_features_pipe_opts_passthrough(spark, features):
+    """GUI-parity knobs reach the cogrouped kernel through
+    generate_features (closure pickling included): export_snap must
+    leave counts intact (it only moves vertices within 0.11 m) and
+    dangle_iterations=2 must not add features."""
+    base = {r["kind"]: r["cnt"] for r in
+            features.groupBy("kind").agg(
+                F.count("*").alias("cnt")).collect()}
+    snapped = PL.generate_features(spark, SF, export_snap=True,
+                                   dangle_iterations=2)
+    got = {r["kind"]: r["cnt"] for r in
+           snapped.groupBy("kind").agg(
+               F.count("*").alias("cnt")).collect()}
+    assert got["crossing"] == base["crossing"]
+    assert got["kerb"] == base["kerb"]
+    # snap can only merge sidewalk stretches (vertex moves close small
+    # gaps ahead of merge_small_stretches), never create them
+    assert got["sidewalk"] <= base["sidewalk"]
+    assert got["sidewalk"] >= base["sidewalk"] * 0.9
