@@ -197,6 +197,11 @@ def _report(lo, hi, sf_dir, n):
         "",
         "## Small-scale suite reference (sf0.1 — latency-bound)",
         "",
+        "Each query is best-of-3 after an untimed full-pipeline "
+        "warm-up (bench.py), so these walls are steady-state compute, "
+        "not JVM/codegen startup; they still swing with the host "
+        "window (see validity section).",
+        "",
         "| config | wall-clock (headline suite) | pages/sec (PIP join) | "
         "sidewalk segments/sec | host steal % |",
         "|---|---|---|---|---|",
