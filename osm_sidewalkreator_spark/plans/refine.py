@@ -140,6 +140,26 @@ def snap_lines_to_reference(lines: list[np.ndarray], ref_segs: np.ndarray,
     dy = ref_segs[:, 3] - ay
     ll = dx * dx + dy * dy
     ll_safe = np.where(ll == 0, 1.0, ll)
+    if behavior == 1 and line_owners is None:
+        # hot path (the in-pipeline J11 pass): all vertices, no owner
+        # masking — skip the vidx indirection of the generic modes
+        out = []
+        for ln in lines:
+            px = ln[:, 0][:, None]
+            py = ln[:, 1][:, None]
+            t = ((px - ax) * dx + (py - ay) * dy) / ll_safe
+            t = np.where(ll == 0, 0.0, np.clip(t, 0.0, 1.0))
+            cx = ax + t * dx
+            cy = ay + t * dy
+            d = np.hypot(px - cx, py - cy)
+            k = np.argmin(d, axis=1)
+            rows = np.arange(len(ln))
+            snapped = ln.copy()
+            hit = d[rows, k] <= tol
+            snapped[hit, 0] = cx[rows, k][hit]
+            snapped[hit, 1] = cy[rows, k][hit]
+            out.append(snapped)
+        return out
     if behavior in (0, 5):
         if ref_nodes is None:
             ref_nodes = np.concatenate([ref_segs[:, :2], ref_segs[:, 2:]])
