@@ -276,3 +276,41 @@ def canonicalize_url(url):
     canon = F.concat(scheme, F.lit("://"), host, path, query)
     domain = host
     return canon.alias("canon_url"), domain.alias("domain")
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    The standard pre-training/RAG chunker: whitespace tokens (the same
+    tokenizer as ``token_stats``), windows of ``chunk_tokens`` tokens
+    starting every ``chunk_tokens - overlap`` tokens, last window
+    truncated at the document end.  Output one row per chunk:
+    (doc_id, chunk_idx, n_chunks, n_chunk_tokens, chunk_text).
+
+    Scale: a narrow map + explode — NO shuffle anywhere; output rows
+    stay partition-local to their input document, so a downstream
+    write or dedup pass repartitions exactly once on its own key.
+    Chunk text is rebuilt with array_join on a slice (whole-stage
+    codegen; the document body is never copied per-chunk before the
+    slice).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", toks.alias("toks"),
+                    F.size(toks).alias("n_tokens"))
+    # starts at 0, stride, 2*stride, ... while start < n_tokens;
+    # split() never yields an empty array (empty text -> [""]), so
+    # the sequence upper bound is always >= 0
+    last = F.floor((F.col("n_tokens") - 1) / F.lit(stride))
+    d = (d.withColumn("n_chunks", (last + 1).cast("long"))
+         .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"),
+                                                       last))))
+    start = F.col("chunk_idx") * stride
+    piece = F.slice("toks", (start + 1).cast("int"), chunk_tokens)
+    return d.select(
+        "doc_id", "chunk_idx", "n_chunks",
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))
