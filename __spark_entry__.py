@@ -27,7 +27,8 @@ from osm_sidewalkreator_spark.artifacts import ensure_features
 from osm_sidewalkreator_spark.functions.geo import (
     st_endpoints, st_length, st_transform_tm)
 from osm_sidewalkreator_spark.operators import (
-    joins as J, multimodal as MM, simsearch as SS, textops as TX)
+    graph as GR, joins as J, multimodal as MM, simsearch as SS,
+    textops as TX)
 from osm_sidewalkreator_spark.pages import (
     ensure_pages_geo, geocode_pages, load_pages)
 from osm_sidewalkreator_spark.plans import pipeline as PL
@@ -1206,23 +1207,42 @@ def q_kerbs(spark, sf_dir):
     return f.select("fid", F.col("ref_id").alias("crossing_fid"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution over the documents table: the exact
+    minhash pair set (the one q_minhash_pairs gates) resolved into
+    connected components with the distributed large-star/small-star
+    rounds (operators/graph.py), then one keeper elected per cluster.
+    Exact oracle: DuckDB recursive-CTE transitive closure over the same
+    pair SQL + the same min-id window election."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = TX.minhash_lsh_pairs(docs, 0.5).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    out = GR.dedup_clusters(docs.select("doc_id"), pairs)
+    return out.select(
+        "doc_id", "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("is_keeper").cast("int").alias("keeper"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on registration: the driver records at most ~50 entries per
     # round (r2 recorded 50/52, r3 recorded 50/59 — always the dict
-    # head). The registry is therefore CURATED to exactly 50: every
-    # EXACT-oracle query first (streaming leads — it has its own
-    # session-startup-like latency), the single rows-only golden check
-    # last. Retired entries keep full pytest coverage
-    # (tests/test_retired_queries.py): q_simhash (algebra exactly
-    # gated by q_simhash_md5), q_events_minutely (same oracle as
-    # q_events_streaming), q_geocode_pages (transitively pinned by
+    # head). The registry is therefore CURATED to exactly 50, ALL with
+    # exact DuckDB oracles (streaming leads — it has its own
+    # session-startup-like latency). Retired entries keep full pytest
+    # coverage (tests/test_retired_queries.py): q_simhash (algebra
+    # exactly gated by q_simhash_md5), q_events_minutely (same oracle
+    # as q_events_streaming), q_geocode_pages (transitively pinned by
     # q_pip_pages_blocks + q_text_invariant), q_embedding_dedup_lsh
     # (keep-superset of exact q_embedding_dedup asserted in tests),
     # q_cosine_lsh / q_cosine_ivf (recall measured every bench run),
     # q_protoblocks / q_sidewalk_rings / q_crossings / q_kerbs
     # (rows-only pipeline stages, each pinned by an exact geometry
     # oracle: q_polygonize_lattice / q_ring_bbox /
-    # q_crossing_geometry+q_crossing_enlarge / q_golden_kerb_anchor).
+    # q_crossing_geometry+q_crossing_enlarge / q_golden_kerb_anchor),
+    # q_golden_protoblock_faces (rows-only by design; the 29-face
+    # recovery + area parity stay asserted in
+    # tests/test_retired_queries.py and tests/test_golden_fixtures.py).
     return {
         "q_sessionize": q_sessionize,
         "q_stream_dedup": q_stream_dedup,
@@ -1273,7 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlay_poly_poly": q_overlay_poly_poly,
         "q_url_canonical": q_url_canonical,
         "q_ring_bbox": q_ring_bbox,
-        "q_golden_protoblock_faces": q_golden_protoblock_faces,
+        "q_dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1299,6 +1319,42 @@ def _pseg_dist(px: str, py: str) -> str:
     """
 
 
+
+_CLUSTER_SQL = """
+    WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t
+                         FROM documents),
+         s AS (SELECT doc_id, list_distinct(
+                 [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  for i in range(len(t) - 2)]) AS sh
+               FROM d WHERE len(t) >= 3),
+         e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS sz FROM s),
+         jp AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                  any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+           FROM e a JOIN e b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+           HAVING count(*) / (any_value(a.sz) + any_value(b.sz)
+                              - count(*)) >= 0.5),
+         sym AS (SELECT id_a AS u, id_b AS v FROM jp
+                 UNION SELECT id_b, id_a FROM jp),
+         reach(node, r) AS (
+           SELECT u, u FROM sym
+           UNION
+           SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r),
+         comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node),
+         lab AS (SELECT doc.doc_id,
+                        COALESCE(cp.c, doc.doc_id) AS cluster_id
+                 FROM documents doc
+                 LEFT JOIN comp cp ON cp.node = doc.doc_id)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY doc_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS keeper
+    FROM lab
+"""
 
 _JACCARD_SQL = """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -2394,6 +2450,7 @@ def oracle_sql() -> dict[str, str]:
         # q_geocode_pages / q_protoblocks / q_sidewalk_rings / q_crossings /
         # q_kerbs / q_golden_protoblock_faces: engine-specific (seeded-hash
         # or geometry-kernel) paths — rows-only checks by design.
+        "q_dedup_clusters": _CLUSTER_SQL,
     }
 
 

@@ -54,3 +54,15 @@ def test_pipeline_stage_queries_still_run(spark):
     for q in (E.q_protoblocks, E.q_sidewalk_rings, E.q_crossings,
               E.q_kerbs):
         assert q(spark, SF).count() > 0
+
+
+def test_golden_protoblock_faces_recovers_29_faces(spark):
+    # retired from the gate (rows-only by design — the polygonizer is a
+    # geometry kernel, not SQL) in favour of the exact q_dedup_clusters;
+    # the reference-parity claim stays pinned here: the engine's
+    # noder+face tracer must recover exactly the 29 real protoblock
+    # faces from the golden linework (area parity is asserted in
+    # tests/test_golden_fixtures.py)
+    rows = E.q_golden_protoblock_faces(spark, SF).collect()
+    assert len(rows) == 29
+    assert all(r.area_m2 > 0 for r in rows)
