@@ -45,16 +45,17 @@ def main():
     PL.generate_features(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
     counters: dict[str, int] = {}
 
-    def timed(name, fn, repeat: int = 3):
+    def timed(name, fn, repeat: int = 3, into: dict | None = None):
         best, out = None, None
         for _ in range(repeat):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        (timings if into is None else into)[name] = round(best, 3)
         return out
 
     # 1. full sidewalk geometry pipeline (streets -> features)
@@ -128,6 +129,24 @@ def main():
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity"), F.count("*")).count()))
 
+    # 8. round-4 additions — timed into "extra_queries", NOT summed into
+    # the headline value: the headline query set is held fixed across
+    # rounds so BENCH_r*.json totals stay comparable.
+    from osm_sidewalkreator_spark.operators import graph as GR
+    pairs = TX.minhash_lsh_pairs(docs, 0.5).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    keepers = timed("dedup_clusters", lambda: (
+        GR.dedup_clusters(docs.select("doc_id"), pairs)
+        .filter("is_keeper").count()), into=extra)
+    counters["dedup_cluster_keepers"] = keepers
+    counters["doc_chunks"] = timed(
+        "chunk_documents",
+        lambda: TX.chunk_documents(docs).count(), into=extra)
+    timed("cosine_topk_int8",
+          lambda: SS.cosine_topk_quantized(emb).count(), into=extra)
+    counters["int8_recall_at_5"] = round(
+        SS.quantized_recall_at_k(emb, k=5), 4)
+
     total = round(sum(timings.values()), 3)
     pages_rate = round(counters["pages_joined"]
                        / max(timings["pip_pages_blocks"], 1e-9))
@@ -139,6 +158,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,
         "sf": os.path.basename(sf_dir.rstrip("/")),
         "pages_per_sec": pages_rate,
         "sidewalk_segments_per_sec": seg_rate,
