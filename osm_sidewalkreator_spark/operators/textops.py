@@ -238,7 +238,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     scores = [
         F.size(F.filter(toks, lambda t: t.isin(*mk))).alias(f"s_{lg}")
         for lg, mk in LANG_MARKERS.items()]
-    scored = docs.select("doc_id", "lang", *scores)
+    scored = docs.select("doc_id", *scores)
     best = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_MARKERS])
     pred = F.lit("en")
     for lg in sorted(LANG_MARKERS, reverse=True):
@@ -314,3 +314,65 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
         "doc_id", "chunk_idx", "n_chunks",
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """In-document repetition metrics (Gopher-style quality filters).
+
+    Per doc: token count, distinct-token ratio, duplicate 2-gram and
+    3-gram fractions (1 - distinct/total n-grams; 0.0 when the doc has
+    no n-gram of that order).  Everything is array algebra on one
+    ``split`` — a narrow plan with ZERO shuffles, so the filter runs at
+    scan speed and composes into ``curate_corpus``-style chains for
+    free.  Ratios are rounded to 9 decimals for evaluator parity.
+    """
+    toks = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", toks.alias("t"))
+    n = F.size("t")
+
+    def grams(k):
+        m = F.greatest(n - (k - 1), F.lit(0))
+        parts = [F.slice("t", i + 1, m) for i in range(k)]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda x, y: F.concat(x, F.lit(" "), y))
+        return g
+
+    def dup_frac(k):
+        g = grams(k)
+        return F.when(F.size(g) > 0,
+                      F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g),
+                              9) + 0.0).otherwise(F.lit(0.0))
+
+    return d.select(
+        "doc_id", n.cast("long").alias("n_tokens"),
+        (F.round(F.size(F.array_distinct("t")) / n, 9) + 0.0)
+            .alias("distinct_token_ratio"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"))
+
+
+def common_shingle_ratio(docs: DataFrame, max_df: int = 5) -> DataFrame:
+    """Corpus-level boilerplate signal: per doc, the fraction of its
+    distinct word-3-gram shingles that occur in more than ``max_df``
+    documents (CCNet-style repeated-passage detection).
+
+    Plan: one explode + groupBy on the shingle string (the document
+    frequency index — the same index ``ngram_jaccard_pairs`` builds),
+    one join back, one per-doc aggregation.  The DF index aggregates
+    BEFORE the join, so the join's build side is only the distinct
+    shingle vocabulary; at 100 TB the vocabulary groupBy is the one
+    big shuffle and it is map-side combined.
+    """
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text")))
+                     .alias("shingle"))
+    df_idx = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (sh.join(df_idx, "shingle")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum((F.col("df") > max_df).cast("long"))
+                .alias("n_common")))
+    return per.select(
+        "doc_id", "n_shingles", "n_common",
+        (F.round(F.col("n_common") / F.col("n_shingles"), 9) + 0.0)
+            .alias("common_ratio"))
