@@ -128,3 +128,40 @@ def test_dedup_clusters_prefer_column(spark):
     # cluster {1,2,3} keeps doc 2 (highest q); singleton 4 keeps itself
     assert out == {(1, 1, False), (2, 1, True), (3, 1, False),
                    (4, 4, True)}
+
+
+def test_cc_larger_graph_matches_union_find(spark):
+    # 60k edges over 40k nodes — too big for the recursive-CTE oracle,
+    # checked against a pure-python union-find instead; also pins the
+    # round count (large-star/small-star must converge well inside the
+    # O(log^2 n) budget, nowhere near max_iter)
+    rng = np.random.default_rng(11)
+    m, n = 60_000, 40_000
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    pdf = pd.DataFrame({"a": a[keep], "b": b[keep]}).astype("int64")
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(pdf.a, pdf.b):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical label = min node id per component
+    touched = sorted(set(pdf.a) | set(pdf.b))
+    label = {}
+    for x in touched:
+        r = find(x)
+        label.setdefault(r, x)  # touched is sorted -> first hit is min
+    want = {(x, label[find(x)]) for x in touched}
+
+    got = {(r["node"], r["component"])
+           for r in connected_components(spark.createDataFrame(pdf)).collect()}
+    assert got == want
