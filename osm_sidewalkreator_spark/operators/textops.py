@@ -202,6 +202,21 @@ def token_stats(docs: DataFrame) -> DataFrame:
         bpe.alias("n_bpe_est"))
 
 
+def quality_expr():
+    """The quality heuristic as a plain Column over ``text`` — callers
+    composing pipelines (plans/curate.py) attach it with ``withColumn``
+    instead of joining ``quality_score``'s output back on doc_id (a
+    narrow expression must never cost a shuffle)."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    mean_len = (F.length("text") - (n_tok - 1)) / n_tok
+    score = (0.4 * F.least(F.lit(1.0), n_tok / F.lit(64.0))
+             + 0.3 * (1 - stops / n_tok)
+             + 0.3 * F.least(F.lit(1.0), mean_len / F.lit(8.0)))
+    return F.round(score, 6)
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality: mean word length, stopword ratio, length score.
 
@@ -211,13 +226,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    mean_len = (F.length("text") - (n_tok - 1)) / n_tok
-    score = (0.4 * F.least(F.lit(1.0), n_tok / F.lit(64.0))
-             + 0.3 * (1 - stops / n_tok)
-             + 0.3 * F.least(F.lit(1.0), mean_len / F.lit(8.0)))
     return docs.select("doc_id", n_tok.alias("n_tokens"),
                        F.round(stops / n_tok, 6).alias("stopword_ratio"),
-                       F.round(score, 6).alias("quality"))
+                       quality_expr().alias("quality"))
 
 
 LANG_MARKERS = {
@@ -228,23 +239,28 @@ LANG_MARKERS = {
 }
 
 
+def langid_expr():
+    """The language-ID argmax as a plain Column over ``text`` (same
+    shuffle-free composition rationale as ``quality_expr``)."""
+    toks = F.split(F.col("text"), " ")
+    scores = {
+        lg: F.size(F.filter(toks, lambda t: t.isin(*mk)))
+        for lg, mk in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("en")
+    for lg in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((scores[lg] == best) & (best > 0),
+                      F.lit(lg)).otherwise(pred)
+    return pred
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-token language ID heuristic: the lang with most marker hits
     wins, ties broken lexicographically, default 'en'. (A real model is
     out of scope; the operator shape — tokenize, score per language,
     argmax — is what the engine provides.)
     """
-    toks = F.split(F.col("text"), " ")
-    scores = [
-        F.size(F.filter(toks, lambda t: t.isin(*mk))).alias(f"s_{lg}")
-        for lg, mk in LANG_MARKERS.items()]
-    scored = docs.select("doc_id", *scores)
-    best = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_MARKERS])
-    pred = F.lit("en")
-    for lg in sorted(LANG_MARKERS, reverse=True):
-        pred = F.when((F.col(f"s_{lg}") == best) & (best > 0),
-                      F.lit(lg)).otherwise(pred)
-    return scored.select("doc_id", pred.alias("lang_pred"))
+    return docs.select("doc_id", langid_expr().alias("lang_pred"))
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
@@ -279,7 +295,8 @@ def canonicalize_url(url):
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
-                    overlap: int = 16) -> DataFrame:
+                    overlap: int = 16,
+                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Split each document into overlapping token-window chunks.
 
     The standard pre-training/RAG chunker: whitespace tokens (the same
@@ -294,12 +311,16 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
     Chunk text is rebuilt with array_join on a slice (whole-stage
     codegen; the document body is never copied per-chunk before the
     slice).
+
+    ``extra_cols``: input columns carried through onto every chunk row
+    (per-doc metadata like lang/quality) — composition stays join-free
+    instead of re-joining chunk rows to doc metadata on doc_id.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     toks = F.split(F.col("text"), " ")
-    d = docs.select("doc_id", toks.alias("toks"),
+    d = docs.select("doc_id", *extra_cols, toks.alias("toks"),
                     F.size(toks).alias("n_tokens"))
     # starts at 0, stride, 2*stride, ... while start < n_tokens;
     # split() never yields an empty array (empty text -> [""]), so
@@ -311,7 +332,7 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
     start = F.col("chunk_idx") * stride
     piece = F.slice("toks", (start + 1).cast("int"), chunk_tokens)
     return d.select(
-        "doc_id", "chunk_idx", "n_chunks",
+        "doc_id", *extra_cols, "chunk_idx", "n_chunks",
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"))
 

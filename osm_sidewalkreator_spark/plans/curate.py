@@ -12,7 +12,9 @@ driver materialization between stages; Catalyst prunes the text column
 into exactly the stages that read it.  Shuffle inventory for the whole
 chain (the 100 TB question):
 
-1. exact dedup — one groupBy on ``xxhash64(text)`` (8-byte key);
+1. exact dedup — one hash-partitioned window on ``xxhash64(text)``
+   (8-byte key; a window rather than groupBy so the full doc row
+   survives without a self-join back);
 2. MinHash pairs — the band equi-join inside ``minhash_lsh_pairs``
    (hot-bucket capped);
 3. connected components — O(log^2 n) node-keyed rounds over the PAIR
@@ -47,9 +49,12 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
     languages (None keeps all); near-dup clusters keep their
     highest-quality member (ties -> lowest doc_id).
     """
-    q = TX.quality_score(docs).select("doc_id", "quality")
-    lg = TX.lang_id(docs).select("doc_id", "lang_pred")
-    d = (docs.join(q, "doc_id").join(lg, "doc_id")
+    # quality + language are narrow expressions over text — attached
+    # with withColumn, NOT by joining the operator outputs back on
+    # doc_id (which would re-scan the corpus and shuffle twice for
+    # columns Catalyst can compute inside the scan stage)
+    d = (docs.withColumn("quality", TX.quality_expr())
+         .withColumn("lang_pred", TX.langid_expr())
          .filter(F.col("quality") >= F.lit(min_quality)))
     if langs is not None:
         d = d.filter(F.col("lang_pred").isin(*langs))
@@ -68,12 +73,13 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
         pairs, prefer="quality")
     kept = labeled.filter("is_keeper")
 
+    # per-doc metadata rides through the explode (extra_cols) — no
+    # chunk-to-metadata join afterwards
     chunks = TX.chunk_documents(
-        kept.select("doc_id", "text"),
-        chunk_tokens=chunk_tokens, overlap=overlap)
-    return (chunks.join(
-        kept.select("doc_id", F.col("lang_pred").alias("lang"),
+        kept.select("doc_id", "text", F.col("lang_pred").alias("lang"),
                     "quality", "cluster_id", "cluster_size"),
-        "doc_id")
-        .select("doc_id", "lang", "quality", "cluster_id", "cluster_size",
-                "chunk_idx", "n_chunks", "n_chunk_tokens", "chunk_text"))
+        chunk_tokens=chunk_tokens, overlap=overlap,
+        extra_cols=("lang", "quality", "cluster_id", "cluster_size"))
+    return chunks.select(
+        "doc_id", "lang", "quality", "cluster_id", "cluster_size",
+        "chunk_idx", "n_chunks", "n_chunk_tokens", "chunk_text")
