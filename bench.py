@@ -144,6 +144,10 @@ def main():
         lambda: TX.chunk_documents(docs).count(), into=extra)
     timed("cosine_topk_int8",
           lambda: SS.cosine_topk_quantized(emb).count(), into=extra)
+    from osm_sidewalkreator_spark.plans.curate import curate_corpus
+    counters["curated_chunks"] = timed(
+        "curate_corpus",
+        lambda: curate_corpus(docs, min_quality=0.5).count(), into=extra)
     counters["int8_recall_at_5"] = round(
         SS.quantized_recall_at_k(emb, k=5), 4)
 
