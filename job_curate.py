@@ -1,0 +1,100 @@
+"""spark-submit entrypoint for the corpus-curation chain.
+
+    spark-submit --py-files engine.zip job_curate.py \
+        --sf-dir /root/testdata/sf0.1 --out /tmp/curate_job \
+        --min-quality 0.5 --langs en,pt
+
+Runs plans/curate.py's chain (quality -> language -> exact dedup ->
+near-dup cluster dedup -> token-window chunks) and writes:
+
+* ``out/chunks/``       training-ready chunk parquet, partitioned by
+                        ``lang`` (the downstream tokenizer's read key)
+                        with bounded file sizes (``maxRecordsPerFile``);
+* ``out/cluster_map/``  (doc_id, cluster_id, cluster_size, is_keeper)
+                        — the dedup lineage, so any dropped document is
+                        auditable back to its surviving keeper;
+* ``out/metrics.json``  row counts per stage + wall time.
+
+Scale notes: the labeled stage is persisted once (MEMORY_AND_DISK) so
+the cluster-map write and the chunk write don't recompute the CC
+rounds; the only driver-side values are scalar counts.  At 100 TB the
+same script runs unchanged with the catalog seam providing the input
+(``spark.sidewalkreator.tablePrefix``) and a real checkpoint dir for
+the CC rounds (see operators/graph.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+from osm_sidewalkreator_spark.plans.curate import curation_stages
+from osm_sidewalkreator_spark.session import get_spark
+from osm_sidewalkreator_spark.sources.catalog import load_table
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/curate_job")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated keep-list, e.g. en,pt "
+                    "(default: keep all)")
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--chunk-tokens", type=int, default=128)
+    ap.add_argument("--overlap", type=int, default=16)
+    ap.add_argument("--max-records-per-file", type=int, default=500_000)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app="sidewalkreator_curate")
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+
+    docs = load_table(spark, args.sf_dir, "documents")
+    n_docs = docs.count()
+    stages = curation_stages(
+        docs,
+        min_quality=args.min_quality,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        jaccard=args.jaccard, chunk_tokens=args.chunk_tokens,
+        overlap=args.overlap)
+
+    labeled = stages["labeled"].persist(StorageLevel.MEMORY_AND_DISK)
+    (labeled.select("doc_id", "cluster_id", "cluster_size", "is_keeper")
+     .write.mode("overwrite").parquet(str(out / "cluster_map")))
+
+    chunks = stages["chunks"]
+    (chunks.write.mode("overwrite")
+     .option("maxRecordsPerFile", args.max_records_per_file)
+     .partitionBy("lang")
+     .parquet(str(out / "chunks")))
+
+    chunk_stats = (spark.read.parquet(str(out / "chunks"))
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("n_chunk_tokens").alias("tok")).first())
+    metrics = {
+        "seconds": round(time.time() - t0, 1),
+        "docs_in": n_docs,
+        "docs_after_filters": stages["filtered"].count(),
+        "docs_kept": labeled.filter("is_keeper").count(),
+        "near_dup_docs_dropped": labeled.filter("NOT is_keeper").count(),
+        "chunks": chunk_stats["n"],
+        "chunk_tokens_total": int(chunk_stats["tok"]),
+    }
+    labeled.unpersist()
+    (out / "metrics.json").write_text(json.dumps(metrics, indent=2))
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,20 +35,15 @@ from osm_sidewalkreator_spark.operators import graph as GR
 from osm_sidewalkreator_spark.operators import textops as TX
 
 
-def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
-                  langs: tuple[str, ...] | None = None,
-                  jaccard: float = 0.5, chunk_tokens: int = 128,
-                  overlap: int = 16) -> DataFrame:
-    """Curated, deduplicated, chunked corpus ready for tokenization.
-
-    Returns one row per chunk: (doc_id, lang, quality, cluster_id,
-    cluster_size, chunk_idx, n_chunks, n_chunk_tokens, chunk_text).
-
-    ``min_quality`` drops docs below the ``quality_score`` heuristic;
-    ``langs`` (e.g. ``("en", "pt")``) keeps only those predicted
-    languages (None keeps all); near-dup clusters keep their
-    highest-quality member (ties -> lowest doc_id).
-    """
+def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
+                    langs: tuple[str, ...] | None = None,
+                    jaccard: float = 0.5, chunk_tokens: int = 128,
+                    overlap: int = 16) -> dict[str, DataFrame]:
+    """The curation chain with its intermediates exposed: returns
+    ``{"filtered", "labeled", "kept", "chunks"}`` so a production job
+    can persist the cluster map for lineage/audit and write the chunks
+    without recomputing the chain (see ``job_curate.py``).
+    ``curate_corpus`` is the single-DataFrame wrapper."""
     # quality + language are narrow expressions over text — attached
     # with withColumn, NOT by joining the operator outputs back on
     # doc_id (which would re-scan the corpus and shuffle twice for
@@ -80,6 +75,27 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
                     "quality", "cluster_id", "cluster_size"),
         chunk_tokens=chunk_tokens, overlap=overlap,
         extra_cols=("lang", "quality", "cluster_id", "cluster_size"))
-    return chunks.select(
+    chunks = chunks.select(
         "doc_id", "lang", "quality", "cluster_id", "cluster_size",
         "chunk_idx", "n_chunks", "n_chunk_tokens", "chunk_text")
+    return {"filtered": d, "labeled": labeled, "kept": kept,
+            "chunks": chunks}
+
+
+def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
+                  langs: tuple[str, ...] | None = None,
+                  jaccard: float = 0.5, chunk_tokens: int = 128,
+                  overlap: int = 16) -> DataFrame:
+    """Curated, deduplicated, chunked corpus ready for tokenization.
+
+    Returns one row per chunk: (doc_id, lang, quality, cluster_id,
+    cluster_size, chunk_idx, n_chunks, n_chunk_tokens, chunk_text).
+
+    ``min_quality`` drops docs below the ``quality_score`` heuristic;
+    ``langs`` (e.g. ``("en", "pt")``) keeps only those predicted
+    languages (None keeps all); near-dup clusters keep their
+    highest-quality member (ties -> lowest doc_id).
+    """
+    return curation_stages(
+        docs, min_quality=min_quality, langs=langs, jaccard=jaccard,
+        chunk_tokens=chunk_tokens, overlap=overlap)["chunks"]

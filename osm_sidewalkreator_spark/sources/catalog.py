@@ -62,6 +62,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prefix = table_prefix(spark)
     if prefix is not None:
         return spark.read.table(f"{prefix}{name}")
+    # driver-provided tables (documents, embeddings, lineitem, ...)
+    # live at the sf_dir root; engine-synthesized ones under synth/
+    direct = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.exists(direct):
+        return spark.read.parquet(direct)
     from ..synth import ensure_synth
     synth = ensure_synth(sf_dir)
     return spark.read.parquet(str(synth / f"{name}.parquet"))

@@ -84,3 +84,26 @@ def test_exact_dups_not_in_output(curated, docs):
     surv = curated.select("doc_id").distinct().join(dup_groups, "doc_id")
     texts = surv.join(docs, "doc_id").groupBy("text").count()
     assert texts.filter("count > 1").count() == 0
+
+
+def test_job_curate_smoke(spark, tmp_path):
+    import json
+    import job_curate
+    out = tmp_path / "cjob"
+    job_curate.main(["--sf-dir", SF, "--out", str(out),
+                     "--min-quality", "0.5", "--chunk-tokens", "32",
+                     "--overlap", "8"])
+    m = json.loads((out / "metrics.json").read_text())
+    assert m["docs_in"] == 500
+    assert 0 < m["docs_kept"] <= m["docs_after_filters"] <= m["docs_in"]
+    assert m["docs_kept"] + m["near_dup_docs_dropped"] \
+        == m["docs_after_filters"]
+    # chunk parquet is lang-partitioned and internally consistent
+    chunks = spark.read.parquet(str(out / "chunks"))
+    assert "lang=" in next((out / "chunks").glob("lang=*")).name
+    assert chunks.select("doc_id").distinct().count() == m["docs_kept"]
+    assert chunks.count() == m["chunks"]
+    # cluster map audits every filtered doc
+    cm = spark.read.parquet(str(out / "cluster_map"))
+    assert cm.count() == m["docs_after_filters"]
+    assert cm.filter("is_keeper").count() == m["docs_kept"]
