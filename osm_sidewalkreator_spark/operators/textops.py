@@ -397,3 +397,36 @@ def common_shingle_ratio(docs: DataFrame, max_df: int = 5) -> DataFrame:
         "doc_id", "n_shingles", "n_common",
         (F.round(F.col("n_common") / F.col("n_shingles"), 9) + 0.0)
             .alias("common_ratio"))
+
+
+def simhash_expr():
+    """The 64-bit SimHash as a plain Column over ``text`` — one
+    ``aggregate`` fold over the token array accumulating all 64 bit
+    votes in an array accumulator (no explode, no shuffle), then the
+    sign-threshold bit pack.  Bit-identical to ``simhash64`` (same
+    +-1 vote per token occurrence per bit; duplicate tokens vote each
+    occurrence both ways) but usable on a STREAM, where the
+    explode+groupBy formulation would be a streaming aggregation and
+    could not precede another stateful operator
+    (streaming/neardup.py)."""
+    toks = F.split(F.col("text"), " ")
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(F.xxhash64(t), i)
+                       .bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1).cast("long"))
+                .otherwise(F.lit(-1).cast("long"))
+                for i in range(64)]),
+            lambda a, v: a + v))
+    powers = F.array(*[F.shiftleft(F.lit(1).cast("long"), i)
+                       for i in range(64)])
+    return F.aggregate(
+        F.zip_with(votes, powers,
+                   lambda v, p: F.when(v > 0, p)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b))
