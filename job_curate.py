@@ -49,6 +49,12 @@ def main(argv=None):
     ap.add_argument("--langs", default=None,
                     help="comma-separated keep-list, e.g. en,pt "
                     "(default: keep all)")
+    ap.add_argument("--max-dup-3gram", type=float, default=None,
+                    help="drop docs with duplicate-3gram fraction "
+                    "above this (in-doc repetition filter)")
+    ap.add_argument("--max-boilerplate", type=float, default=None,
+                    help="drop docs whose corpus-common-shingle ratio "
+                    "exceeds this (adds the DF-index shuffles)")
     ap.add_argument("--jaccard", type=float, default=0.5)
     ap.add_argument("--chunk-tokens", type=int, default=128)
     ap.add_argument("--overlap", type=int, default=16)
@@ -66,6 +72,8 @@ def main(argv=None):
         docs,
         min_quality=args.min_quality,
         langs=tuple(args.langs.split(",")) if args.langs else None,
+        max_dup_3gram=args.max_dup_3gram,
+        max_boilerplate=args.max_boilerplate,
         jaccard=args.jaccard, chunk_tokens=args.chunk_tokens,
         overlap=args.overlap)
 

@@ -348,29 +348,29 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     free.  Ratios are rounded to 9 decimals for evaluator parity.
     """
     toks = F.split(F.col("text"), " ")
-    d = docs.select("doc_id", toks.alias("t"))
-    n = F.size("t")
-
-    def grams(k):
-        m = F.greatest(n - (k - 1), F.lit(0))
-        parts = [F.slice("t", i + 1, m) for i in range(k)]
-        g = parts[0]
-        for p in parts[1:]:
-            g = F.zip_with(g, p, lambda x, y: F.concat(x, F.lit(" "), y))
-        return g
-
-    def dup_frac(k):
-        g = grams(k)
-        return F.when(F.size(g) > 0,
-                      F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g),
-                              9) + 0.0).otherwise(F.lit(0.0))
-
-    return d.select(
+    n = F.size(toks)
+    return docs.select(
         "doc_id", n.cast("long").alias("n_tokens"),
-        (F.round(F.size(F.array_distinct("t")) / n, 9) + 0.0)
+        (F.round(F.size(F.array_distinct(toks)) / n, 9) + 0.0)
             .alias("distinct_token_ratio"),
-        dup_frac(2).alias("dup_2gram_frac"),
-        dup_frac(3).alias("dup_3gram_frac"))
+        dup_ngram_expr(2).alias("dup_2gram_frac"),
+        dup_ngram_expr(3).alias("dup_3gram_frac"))
+
+
+def dup_ngram_expr(k: int = 3):
+    """Duplicate word-k-gram fraction as a plain Column over ``text``
+    (0.0 when the doc has no k-gram), for shuffle-free filter
+    composition (plans/curate.py ``max_dup_3gram``)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(k)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(F.size(g) > 0,
+                  F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g),
+                          9) + 0.0).otherwise(F.lit(0.0))
 
 
 def common_shingle_ratio(docs: DataFrame, max_df: int = 5) -> DataFrame:

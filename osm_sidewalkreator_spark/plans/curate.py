@@ -37,22 +37,40 @@ from osm_sidewalkreator_spark.operators import textops as TX
 
 def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
                     langs: tuple[str, ...] | None = None,
+                    max_dup_3gram: float | None = None,
+                    max_boilerplate: float | None = None,
+                    boilerplate_df: int = 5,
                     jaccard: float = 0.5, chunk_tokens: int = 128,
                     overlap: int = 16) -> dict[str, DataFrame]:
     """The curation chain with its intermediates exposed: returns
     ``{"filtered", "labeled", "kept", "chunks"}`` so a production job
     can persist the cluster map for lineage/audit and write the chunks
     without recomputing the chain (see ``job_curate.py``).
-    ``curate_corpus`` is the single-DataFrame wrapper."""
-    # quality + language are narrow expressions over text — attached
-    # with withColumn, NOT by joining the operator outputs back on
-    # doc_id (which would re-scan the corpus and shuffle twice for
+    ``curate_corpus`` is the single-DataFrame wrapper.
+
+    Optional filters: ``max_dup_3gram`` drops docs whose in-document
+    duplicate-3-gram fraction exceeds it (row-pure — costs nothing);
+    ``max_boilerplate`` drops docs whose corpus-common-shingle ratio
+    (``common_shingle_ratio`` with ``boilerplate_df``) exceeds it —
+    this one is a corpus-level statistic, so enabling it legitimately
+    adds the DF-index shuffles + one doc_id join.
+    """
+    # quality + language + repetition are narrow expressions over text
+    # — attached with withColumn, NOT by joining the operator outputs
+    # back on doc_id (which would re-scan the corpus and shuffle for
     # columns Catalyst can compute inside the scan stage)
     d = (docs.withColumn("quality", TX.quality_expr())
          .withColumn("lang_pred", TX.langid_expr())
          .filter(F.col("quality") >= F.lit(min_quality)))
     if langs is not None:
         d = d.filter(F.col("lang_pred").isin(*langs))
+    if max_dup_3gram is not None:
+        d = d.filter(TX.dup_ngram_expr(3) <= F.lit(max_dup_3gram))
+    if max_boilerplate is not None:
+        bp = TX.common_shingle_ratio(d, max_df=boilerplate_df) \
+            .filter(F.col("common_ratio") > max_boilerplate) \
+            .select("doc_id")
+        d = d.join(bp, "doc_id", "left_anti")
 
     # exact dedup: keep the lowest doc_id per identical text
     d = (d.withColumn("_h", F.xxhash64("text"))
@@ -84,6 +102,9 @@ def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
 
 def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
                   langs: tuple[str, ...] | None = None,
+                  max_dup_3gram: float | None = None,
+                  max_boilerplate: float | None = None,
+                  boilerplate_df: int = 5,
                   jaccard: float = 0.5, chunk_tokens: int = 128,
                   overlap: int = 16) -> DataFrame:
     """Curated, deduplicated, chunked corpus ready for tokenization.
@@ -97,5 +118,7 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
     highest-quality member (ties -> lowest doc_id).
     """
     return curation_stages(
-        docs, min_quality=min_quality, langs=langs, jaccard=jaccard,
+        docs, min_quality=min_quality, langs=langs,
+        max_dup_3gram=max_dup_3gram, max_boilerplate=max_boilerplate,
+        boilerplate_df=boilerplate_df, jaccard=jaccard,
         chunk_tokens=chunk_tokens, overlap=overlap)["chunks"]

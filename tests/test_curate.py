@@ -107,3 +107,33 @@ def test_job_curate_smoke(spark, tmp_path):
     cm = spark.read.parquet(str(out / "cluster_map"))
     assert cm.count() == m["docs_after_filters"]
     assert cm.filter("is_keeper").count() == m["docs_kept"]
+
+
+def test_optional_repetition_and_boilerplate_filters(spark, docs):
+    from osm_sidewalkreator_spark.operators.textops import (
+        common_shingle_ratio, repetition_stats)
+    out = curate_corpus(docs, min_quality=0.0, max_dup_3gram=0.02,
+                        max_boilerplate=0.1).cache()
+    surv = {r["doc_id"] for r in
+            out.select("doc_id").distinct().collect()}
+    # independently recompute both signals over the same input set
+    # (boilerplate DF index is built on the post-narrow-filter corpus,
+    # which with min_quality=0 and no lang filter is the full corpus
+    # minus high-repetition docs)
+    rep = {r["doc_id"]: r["dup_3gram_frac"]
+           for r in repetition_stats(docs).collect()}
+    keep_rep = {d for d, v in rep.items() if v <= 0.02}
+    bp_input = docs.join(
+        spark.createDataFrame([(d,) for d in sorted(keep_rep)],
+                              "doc_id long"), "doc_id")
+    bp = {r["doc_id"]: r["common_ratio"]
+          for r in common_shingle_ratio(bp_input, max_df=5).collect()}
+    for d in surv:
+        assert rep[d] <= 0.02
+        assert bp.get(d, 0.0) <= 0.1
+    # filters actually bit on this corpus
+    dropped_rep = {d for d, v in rep.items() if v > 0.02}
+    dropped_bp = {d for d, v in bp.items() if v > 0.1}
+    assert dropped_rep or dropped_bp
+    assert surv.isdisjoint(dropped_rep) and surv.isdisjoint(dropped_bp)
+    out.unpersist()
