@@ -6,6 +6,14 @@ the BASELINE.json metric).
 
 Synthetic-input generation and artifact warm-up happen before timing so
 the numbers measure engine compute, not one-time fixture creation.
+
+The emitted JSON is SELF-VALIDATING: a "host" stamp records hypervisor
+steal%% before and during the timed section, 1-min load, and STREAM
+bandwidth probes at 1 proc and at bench parallelism before/after (see
+``osm_sidewalkreator_spark/hostcond.py``) — so a slow number can be
+adjudicated code-vs-host from the artifact alone. Set
+SPARK_GRAFT_WAIT_QUIET=<minutes> to poll for a steal<2%% window before
+starting (bounded; records the outcome either way).
 """
 
 from __future__ import annotations
@@ -31,7 +39,14 @@ from osm_sidewalkreator_spark.synth import ensure_synth
 
 
 def main():
+    from osm_sidewalkreator_spark import hostcond
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    quiet_wait = None
+    wait_min = float(os.environ.get("SPARK_GRAFT_WAIT_QUIET", "0"))
+    if wait_min > 0:
+        quiet_wait = hostcond.wait_for_quiet(wait_min)
     spark = get_spark(app="bench")
     # ---- untimed setup: synthetic fixtures + cached artifacts ----
     synth = ensure_synth(sf_dir)
@@ -43,6 +58,11 @@ def main():
     # cache are all populated (warming at a smaller sf left the first
     # timed sf run ~40% slower than steady state)
     PL.generate_features(spark, sf_dir).count()
+
+    # host-condition bracket: pre-probes (steal/load/STREAM) run here,
+    # the cumulative steal delta covers exactly the timed section
+    mon = hostcond.HostMonitor(n_wide=n_cpus)
+    mon.start()
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -151,6 +171,10 @@ def main():
     counters["int8_recall_at_5"] = round(
         SS.quantized_recall_at_k(emb, k=5), 4)
 
+    host = mon.stop()
+    if quiet_wait is not None:
+        host["quiet_wait"] = quiet_wait
+
     total = round(sum(timings.values()), 3)
     pages_rate = round(counters["pages_joined"]
                        / max(timings["pip_pages_blocks"], 1e-9))
@@ -168,6 +192,7 @@ def main():
         "sidewalk_segments_per_sec": seg_rate,
         "counters": counters,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "host": host,
     }
     print(json.dumps(result))
 

@@ -17,11 +17,27 @@ import numpy as np
 SNAP = 1e-5  # coordinate snap grid, meters (0.01 mm)
 
 
+# Cache only small-n entries: one (n, k) entry is two O(n^2) int64
+# arrays (n=2048 -> ~32 MB/entry worst case; n=10k would be ~1.6 GB),
+# and lru_cache bounds ENTRY COUNT, not bytes — so large skewed group
+# sizes must bypass the cache or a long-lived executor pins unbounded
+# memory.
+_TRIU_CACHE_MAX_N = 2048
+
+
 @lru_cache(maxsize=512)
+def _triu_small(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    return np.triu_indices(n, k=k)
+
+
 def _triu_cached(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Cached ``np.triu_indices`` — group sizes repeat heavily (disc
-    arcs bucket whole rings into one cell), and rebuilding the index
-    per group was a measured hotspot. Callers only read the arrays."""
+    """``np.triu_indices`` with a bounded cache — group sizes repeat
+    heavily (disc arcs bucket whole rings into one cell), and
+    rebuilding the index per group was a measured hotspot. Callers
+    only read the arrays. Groups larger than ``_TRIU_CACHE_MAX_N``
+    are computed uncached (rare, and too big to pin)."""
+    if n <= _TRIU_CACHE_MAX_N:
+        return _triu_small(n, k)
     return np.triu_indices(n, k=k)
 
 

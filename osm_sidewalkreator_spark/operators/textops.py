@@ -20,11 +20,15 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "data")
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by full text equality: one keeper per text.
 
-    Scale path: group by xxhash64(text) so the shuffle key is 8 bytes,
-    not the document body (collision-safe enough at 64 bit for dedup;
-    the returned keeper/count pair is identical to group-by-text).
+    Scale path: group by a 128-bit content digest (``unhex(md5(text))``,
+    16-byte binary key) so the shuffle key is fixed-width, not the
+    document body. 64-bit keys are NOT enough here: at the 1e12-row
+    corpus this module targets, the birthday bound on xxhash64 makes
+    collisions expected (~n^2/2^65), and a collision silently drops a
+    distinct document. At 128 bits the same bound is ~n^2/2^129 ≈ 1e-15
+    — the standard content-address trade (git, CAS stores).
     """
-    return (docs.groupBy(F.xxhash64("text").alias("h"))
+    return (docs.groupBy(F.unhex(F.md5("text")).alias("h"))
             .agg(F.min("doc_id").alias("keeper_id"),
                  F.count("*").alias("dup_count"))
             .select("keeper_id", "dup_count"))
@@ -322,10 +326,16 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
     toks = F.split(F.col("text"), " ")
     d = docs.select("doc_id", *extra_cols, toks.alias("toks"),
                     F.size(toks).alias("n_tokens"))
-    # starts at 0, stride, 2*stride, ... while start < n_tokens;
-    # split() never yields an empty array (empty text -> [""]), so
-    # the sequence upper bound is always >= 0
-    last = F.floor((F.col("n_tokens") - 1) / F.lit(stride))
+    # starts at 0, stride, 2*stride, ...; a window is emitted only
+    # while it contributes tokens BEYOND the previous window's overlap
+    # region — i.e. start < n_tokens - overlap — else the final window
+    # would be fully contained in its predecessor whenever
+    # n_tokens mod stride lands in [1, overlap] (duplicated training
+    # text, inflated counts). max(.., 0) keeps a single window for
+    # docs shorter than chunk_tokens; split() never yields an empty
+    # array (empty text -> [""]), so n_tokens >= 1 always
+    last = F.floor(F.greatest(F.col("n_tokens") - (overlap + 1),
+                              F.lit(0)) / F.lit(stride))
     d = (d.withColumn("n_chunks", (last + 1).cast("long"))
          .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"),
                                                        last))))

@@ -12,9 +12,11 @@ driver materialization between stages; Catalyst prunes the text column
 into exactly the stages that read it.  Shuffle inventory for the whole
 chain (the 100 TB question):
 
-1. exact dedup — one hash-partitioned window on ``xxhash64(text)``
-   (8-byte key; a window rather than groupBy so the full doc row
-   survives without a self-join back);
+1. exact dedup — one hash-partitioned window on ``(xxhash64(text),
+   text)`` (hash routes the shuffle and fronts the sort comparison;
+   text in the key makes equality exact against 64-bit collisions at
+   the 1e12-row target; a window rather than groupBy so the full doc
+   row survives without a self-join back);
 2. MinHash pairs — the band equi-join inside ``minhash_lsh_pairs``
    (hot-bucket capped);
 3. connected components — O(log^2 n) node-keyed rounds over the PAIR
@@ -72,9 +74,17 @@ def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
             .select("doc_id")
         d = d.join(bp, "doc_id", "left_anti")
 
-    # exact dedup: keep the lowest doc_id per identical text
+    # exact dedup: keep the lowest doc_id per identical text. The
+    # window partitions by (hash, text) — the 8-byte hash does the
+    # shuffle-routing and the sort's first comparison, and text in the
+    # key makes equality EXACT (a 64-bit collision at the 1e12-row
+    # target scale would otherwise silently drop a distinct doc; text
+    # comparisons only happen between hash-equal rows, i.e. true dups
+    # plus the ~never collision, and the row carries text anyway so
+    # the key adds no shuffle bytes).
     d = (d.withColumn("_h", F.xxhash64("text"))
-         .withColumn("_keep", F.min("doc_id").over(Window.partitionBy("_h")))
+         .withColumn("_keep",
+                     F.min("doc_id").over(Window.partitionBy("_h", "text")))
          .filter(F.col("doc_id") == F.col("_keep"))
          .drop("_h", "_keep"))
 

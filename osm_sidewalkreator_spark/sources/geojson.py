@@ -14,6 +14,7 @@ Spark analog of the reference's features-array concat.
 from __future__ import annotations
 
 import json
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -97,6 +98,15 @@ def write_merged_geojson(features_4326: DataFrame, path: str,
             .select("feature_json"))
     parts_dir = path + ".parts"
     rows.write.mode("overwrite").text(parts_dir)
+    # The glob below reads the driver-local filesystem; on a cluster
+    # without shared storage (or after a write failure) it can come up
+    # empty — fail loudly instead of emitting a valid-but-empty
+    # FeatureCollection.
+    if not os.path.exists(os.path.join(parts_dir, "_SUCCESS")):
+        raise IOError(
+            f"{parts_dir}: no _SUCCESS marker — the text write did not "
+            "commit, or the parts are not on the driver's filesystem "
+            "(shared storage required for the merged-file path)")
     n = 0
     with open(path, "w") as f:
         f.write('{"type":"FeatureCollection","features":[\n')
@@ -113,6 +123,10 @@ def write_merged_geojson(features_4326: DataFrame, path: str,
                     first = False
                     n += 1
         f.write("\n]}")
+    if n == 0 and rows.limit(1).count() > 0:
+        raise IOError(
+            f"{parts_dir}: part files held 0 features but the input is "
+            "non-empty — refusing to emit an empty FeatureCollection")
     if not keep_parts:
         shutil.rmtree(parts_dir)
     return n

@@ -18,17 +18,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# numRowsTotal per micro-batch of the most recent append-mode
+# minutely stream (test hook mirroring the sessionize eviction proof)
+LAST_MINUTELY_STREAM_STATE_ROWS: list[int] = []
+
+
 def minutely_event_counts_stream(spark: SparkSession, events_dir: str,
                                  query_name: str = "events_stream_agg",
-                                 watermark: str = "10 minutes") -> DataFrame:
+                                 watermark: str = "10 minutes",
+                                 output_mode: str = "append") -> DataFrame:
     """Streaming tumbling-window count/sum per event_type.
 
     ``events_dir`` must be a directory of parquet files. Runs with
     Trigger.AvailableNow to completion and returns the materialized
     result (memory sink).
+
+    The default ``output_mode="append"`` is the production template:
+    the watermark finalizes each 1-minute window once event time moves
+    past window.end + watermark, EMITS it exactly once, and EVICTS it
+    from state — bounded state on a continuous stream. For the bounded
+    gate input the caller stages a sentinel row past every real window
+    (``_stage_events_with_sentinel`` with ``maxFilesPerTrigger=1``) so
+    the final watermark closes them all; sentinel rows (event_type
+    ``"_sentinel"``) are filtered from the result.
+    ``output_mode="complete"`` retains ALL windows in state forever —
+    unbounded on a real stream; kept only as a bounded-input debugging
+    flag.
     """
     schema = spark.read.parquet(events_dir).schema
-    src = spark.readStream.schema(schema).parquet(events_dir)
+    reader = spark.readStream.schema(schema)
+    if output_mode == "append":
+        # one file per micro-batch: the (older-mtime) real file's batch
+        # advances the watermark so the sentinel batch can close and
+        # evict every real window
+        reader = reader.option("maxFilesPerTrigger", "1")
+    src = reader.parquet(events_dir)
     # parquet NTZ timestamps need a tz-aware event-time column
     src = src.withColumn("ts", F.to_timestamp("ts"))
     agg = (src.withWatermark("ts", watermark)
@@ -37,28 +61,44 @@ def minutely_event_counts_stream(spark: SparkSession, events_dir: str,
                 F.sum(F.round(F.col("value") * 1000).cast("long"))
                  .alias("value_milli")))
     q = (agg.writeStream.format("memory").queryName(query_name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    global LAST_MINUTELY_STREAM_STATE_ROWS
+    LAST_MINUTELY_STREAM_STATE_ROWS = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")]
     out = spark.table(query_name).select(
         "event_type",
         F.unix_timestamp(F.col("w.start")).alias("minute_epoch"),
         "n", "value_milli")
+    if output_mode == "append":
+        out = out.filter(F.col("event_type") != "_sentinel")
     return out
 
 
-def run_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage the single-file events table into a stream-source directory
-    and run the windowed aggregation."""
-    stage = Path(tempfile.gettempdir()) / "sidewalkreator_stream" \
-        / Path(sf_dir).name
-    stage.mkdir(parents=True, exist_ok=True)
-    dst = stage / "events.parquet"
-    if not dst.exists():
-        shutil.copy(f"{sf_dir}/events.parquet", dst)
-    name = f"events_stream_{Path(sf_dir).name.replace('.', '_')}"
-    return minutely_event_counts_stream(spark, str(stage), name)
+def run_events_stream(spark: SparkSession, sf_dir: str,
+                      output_mode: str = "append") -> DataFrame:
+    """Stage the events table into a stream-source directory (with a
+    watermark-advancing sentinel in append mode) and run the windowed
+    aggregation."""
+    if output_mode == "append":
+        stage = _stage_events_with_sentinel(spark, sf_dir, gap_h=0,
+                                            watermark_min=10,
+                                            prefix="minutely_append")
+    else:
+        stage = Path(tempfile.gettempdir()) / "sidewalkreator_stream" \
+            / Path(sf_dir).name
+        stage.mkdir(parents=True, exist_ok=True)
+        dst = stage / "events.parquet"
+        if not dst.exists():
+            shutil.copy(f"{sf_dir}/events.parquet", dst)
+    name = f"events_stream_{Path(sf_dir).name.replace('.', '_')}" \
+        + ("_app" if output_mode == "append" else "")
+    return minutely_event_counts_stream(spark, str(stage), name,
+                                        output_mode=output_mode)
 
 
 # numRowsTotal per micro-batch of the most recent append-mode
@@ -70,7 +110,8 @@ _SENTINEL_USER = -1
 
 
 def _stage_events_with_sentinel(spark: SparkSession, sf_dir: str,
-                                gap_h: int, watermark_min: int) -> Path:
+                                gap_h: int, watermark_min: int,
+                                prefix: str = "sessions_append") -> Path:
     """Stage the events table as TWO stream-source files: the real
     events, then one sentinel row (user_id=-1) whose event time lies
     past every real session's close + watermark. Processed last
@@ -84,7 +125,7 @@ def _stage_events_with_sentinel(spark: SparkSession, sf_dir: str,
     import pyarrow.parquet as pq
 
     stage = Path(tempfile.gettempdir()) / "sidewalkreator_stream" \
-        / f"sessions_append_{Path(sf_dir).name}"
+        / f"{prefix}_{Path(sf_dir).name}"
     src = f"{sf_dir}/events.parquet"
     dst = stage / "events.parquet"
     sen = stage / "zz_sentinel.parquet"

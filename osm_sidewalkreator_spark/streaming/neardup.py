@@ -36,6 +36,7 @@ import shutil
 import tempfile
 from pathlib import Path
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,6 +49,22 @@ _OUT_SCHEMA = "doc_id long, ts timestamp, simhash long, bucket long"
 _STATE_SCHEMA = "fps array<long>"
 _TTL_MS = 7 * 24 * 3600 * 1000
 MAX_HAMMING = 3
+# Per-bucket cap on retained fingerprints (FIFO eviction of the
+# oldest) — mirrors the batch LSH hot-bucket guard: a pathological
+# bucket (boilerplate flood) must not grow state unboundedly inside
+# the TTL horizon. At the cap, the oldest admits stop being compared
+# against, trading a little recall on ancient dups for bounded state.
+MAX_STATE = 4096
+
+# 256-entry byte-popcount LUT: popcount of a uint64 array = LUT over
+# its uint8 view, summed per 8-byte lane. Vectorized (no per-element
+# Python) — numpy<2.0 has no bitwise_count ufunc.
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    return _POP8[a.view(np.uint8)].reshape(len(a), 8).sum(axis=1)
 
 
 def _hamming(a: int, b: int) -> int:
@@ -62,19 +79,34 @@ def _neardup_fn(key, pdfs, state: GroupState):
     if not rows:
         return
     batch = pd.concat(rows).sort_values(["ts", "doc_id"])
-    kept = list(state.get[0]) if state.exists else []
-    out = []
-    for r in batch.itertuples(index=False):
-        fp = int(r.simhash)
-        if any(_hamming(fp, k) <= MAX_HAMMING for k in kept):
+    prior = (np.asarray(state.get[0], dtype=np.int64).view(np.uint64)
+             if state.exists else np.empty(0, dtype=np.uint64))
+    fps = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+    # kept fingerprints live in one preallocated buffer so each doc's
+    # verify is a single vectorized XOR + popcount over the buffer —
+    # no O(kept) Python loop per row.
+    buf = np.empty(len(prior) + len(fps), dtype=np.uint64)
+    buf[:len(prior)] = prior
+    m = len(prior)
+    admit = np.zeros(len(fps), dtype=bool)
+    for i in range(len(fps)):
+        if m and (_popcount64(buf[:m] ^ fps[i]) <= MAX_HAMMING).any():
             continue
-        kept.append(fp)
-        out.append((r.doc_id, r.ts, r.simhash, r.bucket))
-    state.update((kept,))
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + _TTL_MS)
-    if out:
-        yield pd.DataFrame(out, columns=["doc_id", "ts", "simhash",
-                                         "bucket"])
+        buf[m] = fps[i]
+        m += 1
+        admit[i] = True
+    kept = buf[:m] if m <= MAX_STATE else buf[m - MAX_STATE:m]
+    state.update((kept.view(np.int64).tolist(),))
+    # Anchor the TTL to the batch's OWN event time, not the pre-batch
+    # watermark: in the first micro-batch getCurrentWatermarkMs() is 0,
+    # so watermark+TTL lands in 1970 and the next watermark advance
+    # would evict everything admitted here. max() keeps the timeout
+    # monotone when a late batch trails the watermark.
+    batch_max_ms = int(pd.Timestamp(batch["ts"].max()).value // 10**6)
+    state.setTimeoutTimestamp(
+        max(batch_max_ms, state.getCurrentWatermarkMs()) + _TTL_MS)
+    if admit.any():
+        yield batch.loc[admit, ["doc_id", "ts", "simhash", "bucket"]]
 
 
 def stream_neardup_docs(spark: SparkSession, docs_dir: str,

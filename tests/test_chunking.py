@@ -24,11 +24,12 @@ def _oracle(chunk: int, overlap: int) -> pd.DataFrame:
             FROM read_parquet('{SF}/documents.parquet')
         ), c AS (
             SELECT doc_id, len(toks) AS n, toks,
-                   unnest(range(((len(toks)-1)//{s})+1)) AS chunk_idx
+                   unnest(range((greatest(len(toks)-{overlap}-1, 0)
+                                 //{s})+1)) AS chunk_idx
             FROM t
         )
         SELECT doc_id, chunk_idx,
-               ((n-1)//{s})+1 AS n_chunks,
+               (greatest(n-{overlap}-1, 0)//{s})+1 AS n_chunks,
                least(chunk_idx*{s}+{chunk}, n) - chunk_idx*{s}
                    AS n_chunk_tokens,
                array_to_string(

@@ -27,12 +27,15 @@ def spark():
 def _chunks_reference(tokens: list[str], chunk: int, overlap: int):
     stride = chunk - overlap
     n = max(len(tokens), 1)
+    # a window is emitted only while it adds tokens beyond the
+    # previous window's overlap region (start < n - overlap), with at
+    # least one window per doc — matches the operator's final-window
+    # containment rule
+    last = max(n - overlap - 1, 0) // stride
     out = []
-    start = 0
-    while start < n:
-        piece = tokens[start:start + chunk]
-        out.append((start // stride, len(piece), " ".join(piece)))
-        start += stride
+    for idx in range(last + 1):
+        piece = tokens[idx * stride:idx * stride + chunk]
+        out.append((idx, len(piece), " ".join(piece)))
     return out
 
 
@@ -52,9 +55,14 @@ def test_chunker_matches_python_reference(spark, data):
            for r in chunk_documents(df, chunk, overlap).collect()}
     want = set()
     for doc_id, text in docs:
-        for idx, ln, body in _chunks_reference(text.split(" "),
-                                               chunk, overlap):
+        ref = _chunks_reference(text.split(" "), chunk, overlap)
+        for idx, ln, body in ref:
             want.add((doc_id, idx, ln, body))
+        # coverage strictly extends chunk-over-chunk: no final window
+        # fully contained in its predecessor
+        ends = [idx * (chunk - overlap) + ln for idx, ln, _ in ref]
+        assert all(b > a for a, b in zip(ends, ends[1:]))
+        assert ends[-1] == max(len(text.split(" ")), 1)
     assert got == want
 
 

@@ -300,6 +300,25 @@ def test_sessionize_stream_matches_batch(spark):
     assert len(state) >= 2 and state[-1] <= 1 and state[-1] < max(state)
 
 
+def test_minutely_stream_append_evicts_state(spark):
+    """The tumbling-window stream runs APPEND-mode (production
+    template): emits the same windows as complete mode on the bounded
+    input, and the watermark EVICTS closed windows from state (the
+    sessionize sentinel technique applied to the simpler case)."""
+    from osm_sidewalkreator_spark.streaming import events_stream as ES
+    app = {tuple(r) for r in
+           ES.run_events_stream(spark, SF).collect()}
+    state = list(ES.LAST_MINUTELY_STREAM_STATE_ROWS)  # before the
+    # complete-mode run below overwrites the hook
+    comp = {tuple(r) for r in
+            ES.run_events_stream(spark, SF,
+                                 output_mode="complete").collect()}
+    assert app == comp and len(app) > 100
+    # eviction proof: state shrinks to (at most) the sentinel's own
+    # window once the watermark passes every real window
+    assert len(state) >= 2 and state[-1] <= 1 and state[-1] < max(state)
+
+
 def test_embedding_neardup_lsh_subset(spark):
     """LSH-candidate near-dup dedup only ever KEEPS more than exact
     (a missed candidate pair keeps a duplicate, never drops a
