@@ -268,35 +268,64 @@ def merge_small_stretches(lines: list[np.ndarray],
     concatenated; unmatched short orphans are kept (reference keeps
     them too when no neighbor touches)."""
     lines = [ln.copy() for ln in lines if len(ln) > 1]
+
+    def _cell(p) -> tuple[int, int]:
+        return (int(np.floor(p[0] / tol)), int(np.floor(p[1] / tol)))
+
+    _ORD = {0: 0, -1: 1}
+
     for _ in range(max_iter):
         lens = [core.polyline_length(ln) for ln in lines]
         small = [i for i, l in enumerate(lens) if l < min_len]
         if not small:
             break
+        # endpoint hash (tol-sized cells, 3x3 neighborhood lookup so
+        # boundary-straddling matches are never missed) replaces the
+        # former O(n^2) all-lines scan per small stretch; maintained
+        # incrementally as merges rewrite geometries. Match priority is
+        # IDENTICAL to the scan: lowest j, then end_i 0 before -1, then
+        # end_j 0 before -1.
+        emap: dict[tuple[int, int], set] = {}
+
+        def _add(idx):
+            for e in (0, -1):
+                emap.setdefault(_cell(lines[idx][e]), set()).add((idx, e))
+
+        def _drop(idx):
+            for e in (0, -1):
+                emap.get(_cell(lines[idx][e]), set()).discard((idx, e))
+
+        for idx in range(len(lines)):
+            _add(idx)
         merged_any = False
         for i in small:
             if lines[i] is None:
                 continue
-            found = None
-            for j in range(len(lines)):
-                if j == i or lines[j] is None:
-                    continue
-                for end_i in (0, -1):
-                    for end_j in (0, -1):
-                        if np.hypot(*(lines[i][end_i] - lines[j][end_j])) <= tol:
-                            found = (j, end_i, end_j)
-                            break
-                    if found:
-                        break
-                if found:
-                    break
-            if not found:
+            best = None
+            for ei in (0, -1):
+                p = lines[i][ei]
+                cx, cy = _cell(p)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        for j, ej in emap.get((cx + dx, cy + dy), ()):
+                            if j == i or lines[j] is None:
+                                continue
+                            if np.hypot(*(p - lines[j][ej])) <= tol:
+                                cand = (j, _ORD[ei], _ORD[ej])
+                                if best is None or cand < best:
+                                    best = cand
+            if best is None:
                 continue
-            j, ei, ej = found
+            j, eio, ejo = best
+            ei = 0 if eio == 0 else -1
+            ej = 0 if ejo == 0 else -1
+            _drop(i)
+            _drop(j)
             a = lines[i] if ei == -1 else lines[i][::-1]
             bl = lines[j] if ej == 0 else lines[j][::-1]
             lines[j] = np.vstack([a, bl[1:]])
             lines[i] = None
+            _add(j)
             merged_any = True
         lines = [ln for ln in lines if ln is not None]
         if not merged_any:

@@ -74,6 +74,84 @@ def test_merge_small_stretches():
     assert abs(total - 60.0) < 1e-9
 
 
+def _merge_small_scan_reference(lines, min_len, tol=1e-6, max_iter=50):
+    """The original O(n^2) all-lines scan — kept as the parity oracle
+    for the endpoint-hash implementation (identical match priority:
+    lowest j, end_i 0 before -1, end_j 0 before -1)."""
+    lines = [ln.copy() for ln in lines if len(ln) > 1]
+    for _ in range(max_iter):
+        lens = [core.polyline_length(ln) for ln in lines]
+        small = [i for i, l in enumerate(lens) if l < min_len]
+        if not small:
+            break
+        merged_any = False
+        for i in small:
+            if lines[i] is None:
+                continue
+            found = None
+            for j in range(len(lines)):
+                if j == i or lines[j] is None:
+                    continue
+                for end_i in (0, -1):
+                    for end_j in (0, -1):
+                        if np.hypot(*(lines[i][end_i]
+                                      - lines[j][end_j])) <= tol:
+                            found = (j, end_i, end_j)
+                            break
+                    if found:
+                        break
+                if found:
+                    break
+            if not found:
+                continue
+            j, ei, ej = found
+            a = lines[i] if ei == -1 else lines[i][::-1]
+            bl = lines[j] if ej == 0 else lines[j][::-1]
+            lines[j] = np.vstack([a, bl[1:]])
+            lines[i] = None
+            merged_any = True
+        lines = [ln for ln in lines if ln is not None]
+        if not merged_any:
+            break
+    return lines
+
+
+def test_merge_small_stretches_matches_scan_reference():
+    """Randomized chains-with-noise parity: the hashed implementation
+    must produce BIT-IDENTICAL output (order and geometry) to the
+    original quadratic scan."""
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        lines = []
+        # a few chains of connected stretches with random short pieces
+        for _ in range(rng.integers(2, 5)):
+            x0, y0 = rng.uniform(0, 100, 2)
+            ang = rng.uniform(0, 2 * np.pi)
+            pos = np.array([x0, y0])
+            for _ in range(rng.integers(2, 6)):
+                ln = rng.choice([1.5, 3.0, 12.0, 25.0])
+                d = np.array([np.cos(ang), np.sin(ang)]) * ln
+                seg = np.vstack([pos, pos + d])
+                # randomly reverse orientation
+                if rng.random() < 0.5:
+                    seg = seg[::-1]
+                lines.append(seg)
+                pos = pos + d
+                ang += rng.uniform(-0.7, 0.7)
+        # plus isolated orphans (short and long)
+        for _ in range(rng.integers(0, 4)):
+            p = rng.uniform(200, 300, 2)
+            q = p + rng.uniform(-4, 4, 2)
+            lines.append(np.vstack([p, q]))
+        got = refine.merge_small_stretches(
+            [ln.copy() for ln in lines], min_len=7.0)
+        want = _merge_small_scan_reference(
+            [ln.copy() for ln in lines], min_len=7.0)
+        assert len(got) == len(want), trial
+        for g, w in zip(got, want):
+            assert g.shape == w.shape and np.array_equal(g, w), trial
+
+
 def test_voronoi_split_block():
     ring = square_ring()
     closed = np.vstack([ring, ring[:1]])
