@@ -9,9 +9,12 @@ the numbers measure engine compute, not one-time fixture creation.
 
 The emitted JSON is SELF-VALIDATING: a "host" stamp records hypervisor
 steal%% before and during the timed section, 1-min load, and STREAM
-bandwidth probes at 1 proc and at bench parallelism before/after (see
-``osm_sidewalkreator_spark/hostcond.py``) — so a slow number can be
-adjudicated code-vs-host from the artifact alone. Set
+probes at 1 proc and at bench parallelism before/after — each probe
+reports warm-page READ bandwidth and fresh-page FAULT rate separately,
+because the sandbox host exhibits three distinct degradation regimes
+(steal, wide-bandwidth pinning, fault throttling to ~9 MB/s/proc) and
+only the stamp can say which one a slow wall-clock landed in (see
+``osm_sidewalkreator_spark/hostcond.py``). Set
 SPARK_GRAFT_WAIT_QUIET=<minutes> to poll for a steal<2%% window before
 starting (bounded; records the outcome either way).
 """

@@ -216,6 +216,88 @@ def snap_lines_to_reference(lines: list[np.ndarray], ref_segs: np.ndarray,
     return out
 
 
+def insert_extra_vertices(lines: list[np.ndarray],
+                          ref_nodes: np.ndarray,
+                          tol: float,
+                          node_owners: np.ndarray | None = None,
+                          line_owners: list | None = None,
+                          eps: float = 1e-9) -> list[np.ndarray]:
+    """The ``native:snapgeometries`` "insert extra vertices where
+    required" refinement that behaviors 0/1 imply (J11,
+    generic_functions.py:230-305): after vertices have moved, every
+    reference NODE lying within ``tol`` of the *interior* of a subject
+    segment is inserted into that segment as a new vertex (at the
+    node's own coordinates, so the subject passes exactly through it —
+    the property the reference's export snap relies on for topological
+    joins between crossings and sidewalks).
+
+    Nodes coincident (within ``eps``) with an existing subject vertex
+    are skipped; several nodes on one segment are inserted in order of
+    their projection parameter. ``node_owners``/``line_owners`` mirror
+    ``snap_lines_to_reference``'s self-snap exclusion."""
+    if len(ref_nodes) == 0:
+        return lines
+    out = []
+    for li, ln in enumerate(lines):
+        if len(ln) < 2:
+            out.append(ln)
+            continue
+        nodes = ref_nodes
+        if line_owners is not None and node_owners is not None:
+            nodes = ref_nodes[node_owners != line_owners[li]]
+            if len(nodes) == 0:
+                out.append(ln)
+                continue
+        a, b = ln[:-1], ln[1:]
+        dx = (b - a)[:, 0][None, :]
+        dy = (b - a)[:, 1][None, :]
+        ll = dx * dx + dy * dy
+        ll_safe = np.where(ll == 0, 1.0, ll)
+        rx = nodes[:, 0][:, None] - a[:, 0][None, :]
+        ry = nodes[:, 1][:, None] - a[:, 1][None, :]
+        t = (rx * dx + ry * dy) / ll_safe          # (n_nodes, n_segs)
+        d = np.hypot(rx - t * dx, ry - t * dy)
+        # strictly interior: keep clear of both endpoints by eps in
+        # the projection, and not coincident with any existing vertex
+        da = np.hypot(rx, ry)
+        db = np.hypot(nodes[:, 0][:, None] - b[:, 0][None, :],
+                      nodes[:, 1][:, None] - b[:, 1][None, :])
+        hit = (d <= tol) & (t > 0.0) & (t < 1.0) & (ll[0] > 0) \
+            & (da > eps) & (db > eps)
+        ni, si = np.nonzero(hit)
+        if len(ni) == 0:
+            out.append(ln)
+            continue
+        # one node may sit within tol of several segments (e.g. near a
+        # subject corner): insert it only into the CLOSEST hit segment,
+        # matching the snapper's single-anchor semantics
+        order = np.lexsort((d[ni, si], ni))
+        ni, si = ni[order], si[order]
+        first = np.ones(len(ni), dtype=bool)
+        first[1:] = ni[1:] != ni[:-1]
+        ni, si = ni[first], si[first]
+        # dedup identical node coordinates (shared seg endpoints show
+        # up twice in endpoint-derived node sets)
+        key = np.round(nodes[ni] / max(eps, 1e-12)).astype(np.int64)
+        _, uniq = np.unique(
+            np.concatenate([key, si[:, None]], axis=1),
+            axis=0, return_index=True)
+        ni, si = ni[np.sort(uniq)], si[np.sort(uniq)]
+        ts = t[ni, si]
+        order = np.lexsort((ts, si))
+        ni, si, ts = ni[order], si[order], ts[order]
+        pieces = []
+        prev = 0
+        for seg in np.unique(si):
+            sel = si == seg
+            pieces.append(ln[prev:seg + 1])
+            pieces.append(nodes[ni[sel]])
+            prev = seg + 1
+        pieces.append(ln[prev:])
+        out.append(np.vstack(pieces))
+    return out
+
+
 def export_snap_sequence(sidewalk_lines: list[np.ndarray],
                          crossing_lines: list[np.ndarray],
                          disjoint_tol: float = P.SNAP_DISJOINTED_TOL
@@ -225,7 +307,17 @@ def export_snap_sequence(sidewalk_lines: list[np.ndarray],
     tolerance ``disjoint_tol + 0.01``; (2) crossings' END points onto
     sidewalk line END points, behavior 5, tolerance 0.1; (3) sidewalks
     onto the snapped crossings, behavior 1, tolerance 0.1. Returns the
-    (sidewalks, crossings) pair after all passes."""
+    (sidewalks, crossings) pair after all passes.
+
+    Behaviors 0 and 1 are the QGIS "insert extra vertices where
+    required" variants, so passes 1 and 3 finish with
+    ``insert_extra_vertices``: pass 1 inserts OTHER sidewalks'
+    (post-snap) vertices that land inside a sidewalk segment, pass 3
+    inserts crossing vertices into sidewalk segments — giving the
+    crossing tip and the sidewalk a genuinely shared vertex, which is
+    the topological property downstream network joins rely on.
+    Behavior 5 (pass 2) is the endpoints-only variant and never
+    inserts."""
     from ..geometry import core
 
     def explode(lines):
@@ -244,6 +336,13 @@ def export_snap_sequence(sidewalk_lines: list[np.ndarray],
         sidewalk_lines = snap_lines_to_reference(
             sidewalk_lines, segs, tol=disjoint_tol + 0.01, behavior=0,
             ref_owners=owners, line_owners=list(range(len(sidewalk_lines))))
+        nodes = np.concatenate([ln for ln in sidewalk_lines])
+        nowners = np.concatenate([np.full(len(ln), i)
+                                  for i, ln in enumerate(sidewalk_lines)])
+        sidewalk_lines = insert_extra_vertices(
+            sidewalk_lines, nodes, tol=disjoint_tol + 0.01,
+            node_owners=nowners,
+            line_owners=list(range(len(sidewalk_lines))))
     if crossing_lines and sidewalk_lines:
         sw_nodes = np.array([p for ln in sidewalk_lines
                              for p in (ln[0], ln[-1])])
@@ -255,6 +354,9 @@ def export_snap_sequence(sidewalk_lines: list[np.ndarray],
         csegs, _ = explode(crossing_lines)
         sidewalk_lines = snap_lines_to_reference(
             sidewalk_lines, csegs, tol=0.1, behavior=1)
+        cnodes = np.concatenate([ln for ln in crossing_lines])
+        sidewalk_lines = insert_extra_vertices(
+            sidewalk_lines, cnodes, tol=0.1)
     return sidewalk_lines, crossing_lines
 
 

@@ -233,3 +233,65 @@ def test_export_snap_sequence_closes_gaps():
     # pass 2 (behavior 5): crossing tip sits exactly on a sidewalk node
     tips = [tuple(np.round(p, 9)) for ln in sw2 for p in (ln[0], ln[-1])]
     assert tuple(np.round(cr2[0][0], 9)) in tips
+
+def test_insert_extra_vertices_basic():
+    """A reference node within tol of a segment interior is inserted
+    AT ITS OWN COORDINATES (the QGIS 'insert extra vertices where
+    required' semantics of behaviors 0/1)."""
+    ln = [np.array([[0.0, 0.0], [10.0, 0.0]])]
+    nodes = np.array([[5.0, 0.05]])
+    out = refine.insert_extra_vertices(ln, nodes, tol=0.1)
+    assert out[0].shape == (3, 2)
+    assert np.allclose(out[0][1], [5.0, 0.05])
+    # out of tolerance: untouched
+    out2 = refine.insert_extra_vertices(ln, np.array([[5.0, 0.5]]),
+                                        tol=0.1)
+    assert out2[0].shape == (2, 2)
+
+
+def test_insert_extra_vertices_skips_coincident_and_orders():
+    """Nodes coincident with an existing vertex are not duplicated;
+    several nodes on one segment insert in order of projection."""
+    ln = [np.array([[0.0, 0.0], [10.0, 0.0]])]
+    nodes = np.array([[10.0, 0.0],     # coincident with endpoint
+                      [7.0, -0.02],
+                      [3.0, 0.02]])
+    out = refine.insert_extra_vertices(ln, nodes, tol=0.1)
+    assert out[0].shape == (4, 2)
+    assert np.allclose(out[0], [[0, 0], [3, 0.02], [7, -0.02], [10, 0]])
+
+
+def test_insert_extra_vertices_single_anchor_near_corner():
+    """A node within tol of two adjacent segments (near a corner) is
+    inserted once, into the closest segment only."""
+    ln = [np.array([[0.0, 0.0], [5.0, 0.0], [5.0, 5.0]])]
+    nodes = np.array([[4.95, 0.04]])   # 0.04 from seg0, 0.05 from seg1
+    out = refine.insert_extra_vertices(ln, nodes, tol=0.1)
+    assert out[0].shape == (4, 2)
+    assert np.allclose(out[0][1], [4.95, 0.04])
+
+
+def test_insert_extra_vertices_owner_exclusion():
+    """Self-snap pass: a line's own vertices are never inserted into
+    itself."""
+    lines = [np.array([[0.0, 0.0], [10.0, 0.0]]),
+             np.array([[5.0, 0.05], [5.0, 3.0]])]
+    nodes = np.concatenate(lines)
+    owners = np.array([0, 0, 1, 1])
+    out = refine.insert_extra_vertices(
+        lines, nodes, tol=0.1, node_owners=owners, line_owners=[0, 1])
+    assert out[0].shape == (3, 2)           # gains line 1's tip
+    assert np.allclose(out[0][1], [5.0, 0.05])
+    assert out[1].shape == (2, 2)           # nothing lands on line 1
+
+
+def test_export_snap_inserts_shared_vertex_mid_segment():
+    """VERDICT r4 #5: a crossing tip that lands in a sidewalk
+    segment's INTERIOR must leave the sidewalk with the shared vertex
+    after the export snap (behavior-1 'insert extra vertices')."""
+    sw = [np.array([[0.0, 0.0], [10.0, 0.0]])]
+    cross = [np.array([[5.0, 0.05], [5.0, 3.0]])]
+    sw2, cr2 = refine.export_snap_sequence(sw, cross, disjoint_tol=0.1)
+    tip = cr2[0][0]
+    assert any(np.allclose(v, tip) for v in sw2[0]), (sw2, cr2)
+    assert sw2[0].shape[0] == 3
