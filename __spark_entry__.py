@@ -777,6 +777,99 @@ def q_ring_bbox(spark, sf_dir):
             .applyInPandas(run, schema))
 
 
+def q_voronoi_split(spark, sf_dir):
+    """G10/G11 Voronoi POI splitting with an EXACT oracle
+    (``voronoi_splitting`` osm_sidewalkreator.py:3493-3557 via
+    ``native:voronoipolygons`` generic_functions.py:373-378): on each
+    lattice face (the REAL noding + polygonize kernel), a deterministic
+    2x2 POI grid at the quarter points makes every perpendicular
+    bisector axis-aligned, so the REAL half-plane ``voronoi_cells`` +
+    ``split_lines_with_lines`` kernel must cut the block's boundary
+    ring at exactly its four side midpoints: 4 pieces, each side-mid ->
+    corner -> side-mid, with closed-form endpoints and length
+    (w+h)/2. DuckDB regenerates every piece from the distinct grid
+    positions alone — fully independent of the Voronoi construction.
+    Pieces are canonicalized (lexicographically smaller endpoint
+    first) and indexed by sorted endpoint order within the block."""
+    import numpy as np
+    import pandas as pd
+
+    st = (PL.load_streets(spark, sf_dir)
+          .filter(F.col("n_vertices") == 2)
+          .filter((F.col("x1") == F.col("x2"))
+                  | (F.col("y1") == F.col("y2")))
+          .select("x1", "y1", "x2", "y2").distinct())
+    cols = ["xmin_mm", "ymin_mm", "piece_idx", "sx_mm", "sy_mm",
+            "mx_mm", "my_mm", "ex_mm", "ey_mm", "len_mm"]
+    schema = ("xmin_mm long, ymin_mm long, piece_idx int, sx_mm long, "
+              "sy_mm long, mx_mm long, my_mm long, ex_mm long, "
+              "ey_mm long, len_mm long")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from osm_sidewalkreator_spark.geometry import faces, noding
+        from osm_sidewalkreator_spark.plans import refine
+
+        segs = pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+        noded, _ = noding.node_segments(segs)
+        rows = []
+        for ring in faces.polygonize(noded):
+            x0, y0 = ring[:, 0].min(), ring[:, 1].min()
+            x1, y1 = ring[:, 0].max(), ring[:, 1].max()
+            rect = np.array([[x0, y0], [x1, y0], [x1, y1],
+                             [x0, y1], [x0, y0]])
+            w, h = x1 - x0, y1 - y0
+            pois = np.array([[x0 + w * 0.25, y0 + h * 0.25],
+                             [x0 + w * 0.75, y0 + h * 0.25],
+                             [x0 + w * 0.25, y0 + h * 0.75],
+                             [x0 + w * 0.75, y0 + h * 0.75]])
+            pieces = refine.voronoi_split_block([rect], pois, rect[:-1])
+            recs = []
+            for p in pieces:
+                if (p[-1][0], p[-1][1]) < (p[0][0], p[0][1]):
+                    p = p[::-1]
+                mm = [int(round(v * 1000)) for v in
+                      (p[0][0], p[0][1], p[len(p) // 2][0],
+                       p[len(p) // 2][1], p[-1][0], p[-1][1])]
+                ln = int(round(float(
+                    np.hypot(*(np.diff(p, axis=0)).T).sum()) * 1000))
+                recs.append(mm + [ln])
+            recs.sort()
+            bx, by = int(round(x0 * 1000)), int(round(y0 * 1000))
+            for i, r in enumerate(recs):
+                rows.append([bx, by, i] + r)
+        return pd.DataFrame(rows, columns=cols)
+
+    return (st.withColumn("_g", F.lit(0)).groupBy("_g")
+            .applyInPandas(run, schema))
+
+
+def q_curate_chain(spark, sf_dir):
+    """End-to-end curation chain (plans/curate.py) as ONE exact gate
+    entry: quality filter (>= 0.5503 — chosen OFF every attainable rational quality value so no doc sits within FP-disagreement range of the threshold; 0.55 exactly equals doc 119's quality at sf0.01 and the two engines round-trip it one ulp apart) -> exact dedup (lowest doc_id per
+    identical text) -> MinHash-LSH near-dup pairs -> connected-
+    components cluster dedup (keeper = highest quality, ties lowest
+    doc_id) -> 128/16 token-window chunking. Every stage is
+    individually exact-gated (q_quality, q_exact_dedup_docs,
+    q_minhash_pairs, q_dedup_clusters, the chunk oracle in
+    tests/test_chunking.py); this entry pins their COMPOSITION — the
+    single lazy plan the 100 TB job runs. DuckDB recomputes the whole
+    chain: quality expression -> min-doc_id window -> exact-Jaccard
+    pairs -> recursive-CTE transitive closure -> quality-ordered
+    election -> chunk window arithmetic."""
+    from osm_sidewalkreator_spark.plans import curate as CU
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = CU.curate_corpus(docs, min_quality=0.5503)
+    return chunks.select(
+        "doc_id", "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.round("quality", 6).alias("quality"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text")
+
+
 def q_embedding_dedup_lsh(spark, sf_dir):
     """Scale path of the embedding dedup: candidate pairs from the
     multi-table hyperplane buckets (hot-bucket capped) instead of the
@@ -1242,7 +1335,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_crossing_geometry+q_crossing_enlarge / q_golden_kerb_anchor),
     # q_golden_protoblock_faces (rows-only by design; the 29-face
     # recovery + area parity stay asserted in
-    # tests/test_retired_queries.py and tests/test_golden_fixtures.py).
+    # tests/test_retired_queries.py and tests/test_golden_fixtures.py),
+    # q_html_bytes (round 5 — its invariant is subsumed by
+    # q_media_features + q_text_invariant; byte-path parity kept in
+    # tests/test_retired_queries.py), q_golden_crossing_length (round
+    # 5 — crossing lengths are pinned by the mm-exact
+    # q_crossing_geometry + q_crossing_enlarge oracles; the golden
+    # fixture comparison stays in tests). Their slots now carry
+    # q_voronoi_split (the last §2.7 op that was pytest-only) and
+    # q_curate_chain (the end-to-end curation composition).
     return {
         "q_sessionize": q_sessionize,
         "q_stream_dedup": q_stream_dedup,
@@ -1257,7 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dem_kerb_slope": q_dem_kerb_slope,
         "q_dedup_geometries": q_dedup_geometries,
         "q_text_invariant": q_text_invariant,
-        "q_html_bytes": q_html_bytes,
+        "q_voronoi_split": q_voronoi_split,
         "q_media_features": q_media_features,
         "q_tags_flatten": q_tags_flatten,
         "q_exact_dedup_docs": q_exact_dedup_docs,
@@ -1273,7 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lineitem_pricing": q_lineitem_pricing,
         "q_golden_counts": q_golden_counts,
         "q_golden_kerb_anchor": q_golden_kerb_anchor,
-        "q_golden_crossing_length": q_golden_crossing_length,
+        "q_curate_chain": q_curate_chain,
         "q_protoblock_sidewalk_filter": q_protoblock_sidewalk_filter,
         "q_extract_by_location": q_extract_by_location,
         "q_convex_hull": q_convex_hull,
@@ -1624,8 +1725,46 @@ def oracle_sql() -> dict[str, str]:
         "q_text_invariant": f"""
             SELECT url, md5(text) AS text_md5 FROM {pages}
         """,
-        "q_html_bytes": f"""
-            SELECT url, octet_length(html) AS n_bytes FROM {pages}
+        "q_voronoi_split": f"""
+            WITH st AS (SELECT DISTINCT x1, y1, x2, y2 FROM {streets}
+                        WHERE n_vertices = 2 AND (x1 = x2 OR y1 = y2)),
+            vxs AS (SELECT x, lead(x) OVER (ORDER BY x) AS xn
+                    FROM (SELECT DISTINCT x1 AS x FROM st
+                          WHERE x1 = x2)),
+            hys AS (SELECT y, lead(y) OVER (ORDER BY y) AS yn
+                    FROM (SELECT DISTINCT y1 AS y FROM st
+                          WHERE y1 = y2)),
+            cells AS (SELECT x AS x0, xn AS xx1, y AS y0, yn AS yy1,
+                             (x + xn) / 2 AS xm, (y + yn) / 2 AS ym
+                      FROM vxs, hys
+                      WHERE xn IS NOT NULL AND yn IS NOT NULL),
+            p AS (SELECT *, unnest(range(4)) AS i FROM cells)
+            SELECT CAST(round(x0 * 1000) AS BIGINT) AS xmin_mm,
+                   CAST(round(y0 * 1000) AS BIGINT) AS ymin_mm,
+                   CAST(i AS INT) AS piece_idx,
+                   CAST(round(CASE WHEN i IN (0, 1) THEN x0
+                                   ELSE xm END * 1000) AS BIGINT)
+                     AS sx_mm,
+                   CAST(round(CASE WHEN i IN (0, 1) THEN ym
+                                   WHEN i = 2 THEN y0
+                                   ELSE yy1 END * 1000) AS BIGINT)
+                     AS sy_mm,
+                   CAST(round(CASE WHEN i IN (0, 1) THEN x0
+                                   ELSE xx1 END * 1000) AS BIGINT)
+                     AS mx_mm,
+                   CAST(round(CASE WHEN i IN (0, 2) THEN y0
+                                   ELSE yy1 END * 1000) AS BIGINT)
+                     AS my_mm,
+                   CAST(round(CASE WHEN i IN (0, 1) THEN xm
+                                   ELSE xx1 END * 1000) AS BIGINT)
+                     AS ex_mm,
+                   CAST(round(CASE WHEN i = 0 THEN y0
+                                   WHEN i = 1 THEN yy1
+                                   ELSE ym END * 1000) AS BIGINT)
+                     AS ey_mm,
+                   CAST(round((xx1 - x0 + yy1 - y0) / 2 * 1000)
+                        AS BIGINT) AS len_mm
+            FROM p
         """,
         "q_tags_flatten": f"""
             SELECT osm_id,
@@ -2445,7 +2584,73 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_golden_counts": _golden_counts_sql(),
         "q_golden_kerb_anchor": _golden_kerb_anchor_sql(),
-        "q_golden_crossing_length": _golden_crossing_length_sql(),
+        "q_curate_chain": f"""
+            WITH RECURSIVE
+            q0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                          length(text) AS nc
+                   FROM documents),
+            ql AS (SELECT doc_id, text, toks,
+                     0.4 * least(1.0, len(toks) / 64.0)
+                   + 0.3 * (1 - len(list_filter(toks,
+                         w -> w IN ({stop_list}))) * 1.0 / len(toks))
+                   + 0.3 * least(1.0,
+                         ((nc - (len(toks) - 1)) * 1.0 / len(toks)) / 8.0)
+                     AS quality
+                   FROM q0),
+            f AS (SELECT * FROM ql WHERE quality >= 0.5503),
+            dd AS (SELECT doc_id, text, toks, quality FROM (
+                     SELECT *, min(doc_id) OVER (PARTITION BY text)
+                       AS _keep FROM f)
+                   WHERE doc_id = _keep),
+            s AS (SELECT doc_id, list_distinct(
+                    [toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                     for i in range(len(toks) - 2)]) AS sh
+                  FROM dd WHERE len(toks) >= 3),
+            e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS sz
+                  FROM s),
+            jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM e a JOIN e b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id
+                   HAVING count(*) / (any_value(a.sz) + any_value(b.sz)
+                                      - count(*)) >= 0.5),
+            sym AS (SELECT id_a AS u, id_b AS v FROM jp
+                    UNION SELECT id_b, id_a FROM jp),
+            reach(node, r) AS (
+                SELECT u, u FROM sym
+                UNION
+                SELECT reach.node, sym.v FROM reach
+                JOIN sym ON sym.u = reach.r),
+            comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node),
+            lab AS (SELECT dd.doc_id, dd.toks, dd.quality,
+                           COALESCE(cp.c, dd.doc_id) AS cluster_id
+                    FROM dd LEFT JOIN comp cp ON cp.node = dd.doc_id),
+            sized AS (SELECT *,
+                        count(*) OVER (PARTITION BY cluster_id)
+                          AS cluster_size,
+                        row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rn
+                      FROM lab),
+            kept AS (SELECT * FROM sized WHERE rn = 1),
+            c AS (SELECT doc_id, cluster_id, cluster_size, quality,
+                         len(toks) AS n, toks,
+                         unnest(range((greatest(len(toks) - 16 - 1, 0)
+                                       // 112) + 1)) AS chunk_idx
+                  FROM kept)
+            SELECT doc_id, cluster_id,
+                   CAST(cluster_size AS BIGINT) AS cluster_size,
+                   round(quality, 6) AS quality,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST((greatest(n - 16 - 1, 0) // 112) + 1 AS BIGINT)
+                     AS n_chunks,
+                   CAST(least(chunk_idx * 112 + 128, n)
+                        - chunk_idx * 112 AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(
+                       toks[chunk_idx * 112 + 1
+                            : least(chunk_idx * 112 + 128, n)], ' ')
+                     AS chunk_text
+            FROM c
+        """,
         # q_minhash_pairs / q_simhash / q_cosine_lsh /
         # q_geocode_pages / q_protoblocks / q_sidewalk_rings / q_crossings /
         # q_kerbs / q_golden_protoblock_faces: engine-specific (seeded-hash

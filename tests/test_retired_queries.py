@@ -66,3 +66,31 @@ def test_golden_protoblock_faces_recovers_29_faces(spark):
     rows = E.q_golden_protoblock_faces(spark, SF).collect()
     assert len(rows) == 29
     assert all(r.area_m2 > 0 for r in rows)
+
+
+def test_html_bytes_matches_octet_length(spark):
+    # retired round 5 (slot given to q_voronoi_split): the byte
+    # accounting is pure octet_length; assert it directly against the
+    # JVM length() of the binary column so the exact-parity claim the
+    # gate used to carry stays pinned
+    from pyspark.sql import functions as F
+    from osm_sidewalkreator_spark.pages import load_pages
+
+    out = E.q_html_bytes(spark, SF)
+    pages = load_pages(spark, SF).select(
+        "url", F.length("html").alias("want"))
+    bad = (out.join(pages, "url")
+           .filter(F.col("n_bytes") != F.col("want")).count())
+    assert bad == 0
+    assert out.count() == pages.count() > 0
+
+
+def test_golden_crossing_length_attr_parity(spark):
+    # retired round 5 (slot given to q_curate_chain): crossing-length
+    # geometry stays mm-exact-gated by q_crossing_geometry +
+    # q_crossing_enlarge; the golden fixture's length attribute vs
+    # engine TM reprojection claim stays asserted here
+    rows = E.q_golden_crossing_length(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(abs(r.tm_ratio - 1.0) <= 0.01 for r in rows)
+    assert all(r.attr_mm > 0 for r in rows)
