@@ -437,11 +437,20 @@ def _repair_graph(edges: np.ndarray, snap: float,
         if not repl:
             return edges
         new_edges = edges.copy()
-        for vid_from, vid_to in repl.items():
-            mask_t = inv[:n] == vid_from
-            mask_h = inv[n:] == vid_from
-            new_edges[mask_t, 0:2] = verts[vid_to]
-            new_edges[mask_h, 2:4] = verts[vid_to]
+        # one O(n) gather instead of a boolean mask pass per merged
+        # vertex (the masks were O(n * |repl|) allocation churn in the
+        # hot tile kernel); identical semantics — only endpoints whose
+        # vertex id is in repl are rewritten, others keep their
+        # original float coords
+        vmap = np.full(len(uniq), -1, dtype=np.int64)
+        vmap[np.fromiter(repl.keys(), np.int64, len(repl))] = \
+            np.fromiter(repl.values(), np.int64, len(repl))
+        mt = vmap[inv[:n]]
+        mh = vmap[inv[n:]]
+        selt = mt >= 0
+        selh = mh >= 0
+        new_edges[selt, 0:2] = verts[mt[selt]]
+        new_edges[selh, 2:4] = verts[mh[selh]]
         ln = np.hypot(new_edges[:, 2] - new_edges[:, 0],
                       new_edges[:, 3] - new_edges[:, 1])
         new_edges = new_edges[ln > 0]

@@ -65,6 +65,21 @@ def _steal_pct(f):
     return out, 100.0 * (s1 - s0) / max(t1 - t0, 1)
 
 
+def _fault_probe() -> dict:
+    """Fresh-page fault-rate probe (hostcond): the host has a regime
+    where first-touch is throttled to ~9 MB/s/proc at ZERO steal —
+    scaling legs launched there measure the throttle, not the engine
+    (the 32-wide leg faults from more threads and can even look
+    super-linear). Gate on it like steal."""
+    sys.path.insert(0, str(REPO))
+    from osm_sidewalkreator_spark import hostcond
+    return hostcond.stream_probe(1, mb=64, dur=1.0, alloc_deadline=5.0)
+
+
+def _fault_ok(fp: dict) -> bool:
+    return (not fp["alloc_limited"]) and fp["fault_gib_s"] >= 0.5
+
+
 def _wait_quiet(minutes: int = 30) -> bool:
     for _ in range(minutes * 2):
         s0, t0 = _steal()
@@ -73,7 +88,11 @@ def _wait_quiet(minutes: int = 30) -> bool:
         steal = 100.0 * (s1 - s0) / max(t1 - t0, 1)
         load1 = float(open("/proc/loadavg").read().split()[0])
         if steal < 2.0 and load1 < 1.5:
-            return True
+            fp = _fault_probe()
+            if _fault_ok(fp):
+                return True
+            print(f"quiet-wait: fault-throttled {fp}", flush=True)
+            continue
         print(f"quiet-wait: steal {steal:.1f}% load {load1:.1f}",
               flush=True)
     return False
@@ -118,6 +137,7 @@ def main():
             continue
         LOCK.write_text(str(os.getpid()))
         try:
+            fault_pre = _fault_probe()
             hi, st_hi = _leg(n_high)
             print(f"  high {hi} steal {st_hi:.2f}%", flush=True)
             if st_hi > STEAL_MAX:
@@ -125,6 +145,12 @@ def main():
             lo, st_lo = _leg(n_low)
             print(f"  low {lo} steal {st_lo:.2f}%", flush=True)
             if st_lo > STEAL_MAX:
+                continue
+            fault_post = _fault_probe()
+            if not (_fault_ok(fault_pre) and _fault_ok(fault_post)):
+                print(f"  fault-throttle bracketed the pair "
+                      f"({fault_pre} -> {fault_post}); discarding",
+                      flush=True)
                 continue
             # same-window burn control (hi first: induced steal lives
             # on the oversubscribed leg)
@@ -155,6 +181,8 @@ def main():
                 "stream_gib_s": {"low": round(gl, 2), "high": round(gh, 2)},
                 "stream_steal": {"low": round(sgl, 2),
                                  "high": round(sgh, 2)},
+                "fault_gib_s": {"pre": fault_pre["fault_gib_s"],
+                                "post": fault_post["fault_gib_s"]},
                 "ts": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}
         p4 = REPO / "BENCH" / "PIPE4.json"
         data = json.loads(p4.read_text()) if p4.exists() else {"pairs": []}
