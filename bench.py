@@ -47,7 +47,11 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     quiet_wait = None
-    wait_min = float(os.environ.get("SPARK_GRAFT_WAIT_QUIET", "0"))
+    # default: a short bounded poll for a steal-free, fault-unthrottled
+    # window — an unattended (driver) bench run self-protects against
+    # landing in a known-bad host regime, and the wait outcome is
+    # stamped either way. Set SPARK_GRAFT_WAIT_QUIET=0 to disable.
+    wait_min = float(os.environ.get("SPARK_GRAFT_WAIT_QUIET", "10"))
     if wait_min > 0:
         quiet_wait = hostcond.wait_for_quiet(wait_min)
     spark = get_spark(app="bench")

@@ -440,3 +440,94 @@ def simhash_expr():
                    .otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
         lambda acc, b: acc.bitwiseOR(b))
+
+
+# --- PII scrubbing -----------------------------------------------------
+
+# Patterns deliberately restricted to syntax with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, \b word boundaries — no backreferences or lookaround, so
+# both engines produce the same leftmost matches and a DuckDB oracle
+# can assert exact parity.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\+[0-9][0-9()\- ]{6,18}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+)
+
+
+def pii_scrub_expr(col: str = "text"):
+    """Scrubbed text as a plain Column (emails/phones/IPv4 replaced by
+    typed placeholder tokens) — row-pure JVM ``regexp_replace`` chain,
+    zero shuffles, composes into curation chains per the PLANS.md rule
+    (expressions, never joined-back operator output). Replacement
+    order is fixed (email, phone, ipv4): earlier replacements cannot
+    create later patterns' matches because placeholders contain no
+    digits or ``@``."""
+    out = F.col(col)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Per-doc PII removal + accounting: replaces ``col`` with the
+    scrubbed text and adds ``n_pii_<kind>`` match counts (pre-scrub)
+    plus total ``n_pii``. All JVM-side regex — the hot path stays in
+    whole-stage codegen."""
+    counts = {
+        f"n_pii_{name}": F.size(F.regexp_extract_all(F.col(col),
+                                                     F.lit(pat), F.lit(0)))
+        .cast("long")
+        for name, pat, _ in PII_PATTERNS}
+    d = docs
+    for cname, expr in counts.items():
+        d = d.withColumn(cname, expr)
+    total = None
+    for cname in counts:
+        total = F.col(cname) if total is None else total + F.col(cname)
+    return (d.withColumn("n_pii", total.cast("long"))
+            .withColumn(col, pii_scrub_expr(col)))
+
+
+# --- benchmark decontamination ----------------------------------------
+
+def decontaminate(docs: DataFrame, eval_texts: DataFrame, n: int = 8,
+                  text_col: str = "text",
+                  eval_text_col: str = "text") -> DataFrame:
+    """Flag training docs that share any word ``n``-gram with an
+    evaluation corpus (benchmark decontamination, the standard
+    pre-training hygiene step).
+
+    Scale shape: the EVAL side is tiny (benchmarks are KBs-MBs), so its
+    distinct n-grams broadcast; the corpus side explodes its n-grams
+    once, inner-joins the broadcast set, and aggregates hit counts per
+    doc — corpus rows never shuffle, only the (doc_id, hit) pairs do.
+    Returns docs + ``n_contaminated_ngrams`` (0 for clean docs); filter
+    ``== 0`` (or left-anti on the flagged ids) to drop.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def grams(df, col):
+        toks = F.split(F.col(col), " ")
+        m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        parts = [F.slice(toks, i + 1, m) for i in range(n)]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda x, y: F.concat(x, F.lit(" "), y))
+        return F.array_distinct(g)
+
+    ev = (eval_texts.select(F.explode(grams(eval_texts, eval_text_col))
+                            .alias("gram")).distinct())
+    hits = (docs.select("doc_id",
+                        F.explode(grams(docs, text_col)).alias("gram"))
+            .join(broadcast(ev), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long")
+                 .alias("n_contaminated_ngrams")))
+    return (docs.join(hits, "doc_id", "left")
+            .withColumn("n_contaminated_ngrams",
+                        F.coalesce(F.col("n_contaminated_ngrams"),
+                                   F.lit(0).cast("long"))))

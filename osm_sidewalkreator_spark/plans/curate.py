@@ -42,6 +42,9 @@ def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
                     max_dup_3gram: float | None = None,
                     max_boilerplate: float | None = None,
                     boilerplate_df: int = 5,
+                    scrub_pii: bool = False,
+                    decontaminate_against: DataFrame | None = None,
+                    decontam_ngram: int = 8,
                     jaccard: float = 0.5, chunk_tokens: int = 128,
                     overlap: int = 16) -> dict[str, DataFrame]:
     """The curation chain with its intermediates exposed: returns
@@ -56,11 +59,21 @@ def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
     (``common_shingle_ratio`` with ``boilerplate_df``) exceeds it —
     this one is a corpus-level statistic, so enabling it legitimately
     adds the DF-index shuffles + one doc_id join.
+
+    ``scrub_pii`` rewrites ``text`` through the row-pure
+    ``pii_scrub_expr`` placeholder chain BEFORE any scoring (zero
+    added shuffles). ``decontaminate_against`` drops docs sharing any
+    word ``decontam_ngram``-gram with the given (small) eval corpus:
+    the eval grams broadcast, corpus grams explode-join them, and the
+    flagged id set broadcasts back into a left-anti — no corpus-wide
+    shuffle is added.
     """
     # quality + language + repetition are narrow expressions over text
     # — attached with withColumn, NOT by joining the operator outputs
     # back on doc_id (which would re-scan the corpus and shuffle for
     # columns Catalyst can compute inside the scan stage)
+    if scrub_pii:
+        docs = docs.withColumn("text", TX.pii_scrub_expr())
     d = (docs.withColumn("quality", TX.quality_expr())
          .withColumn("lang_pred", TX.langid_expr())
          .filter(F.col("quality") >= F.lit(min_quality)))
@@ -73,6 +86,12 @@ def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
             .filter(F.col("common_ratio") > max_boilerplate) \
             .select("doc_id")
         d = d.join(bp, "doc_id", "left_anti")
+    if decontaminate_against is not None:
+        flagged = (TX.decontaminate(d, decontaminate_against,
+                                    n=decontam_ngram)
+                   .filter(F.col("n_contaminated_ngrams") > 0)
+                   .select("doc_id"))
+        d = d.join(F.broadcast(flagged), "doc_id", "left_anti")
 
     # exact dedup: keep the lowest doc_id per identical text. The
     # window partitions by (hash, text) — the 8-byte hash does the
@@ -115,6 +134,9 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
                   max_dup_3gram: float | None = None,
                   max_boilerplate: float | None = None,
                   boilerplate_df: int = 5,
+                  scrub_pii: bool = False,
+                  decontaminate_against: DataFrame | None = None,
+                  decontam_ngram: int = 8,
                   jaccard: float = 0.5, chunk_tokens: int = 128,
                   overlap: int = 16) -> DataFrame:
     """Curated, deduplicated, chunked corpus ready for tokenization.
@@ -130,5 +152,7 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
     return curation_stages(
         docs, min_quality=min_quality, langs=langs,
         max_dup_3gram=max_dup_3gram, max_boilerplate=max_boilerplate,
-        boilerplate_df=boilerplate_df, jaccard=jaccard,
+        boilerplate_df=boilerplate_df, scrub_pii=scrub_pii,
+        decontaminate_against=decontaminate_against,
+        decontam_ngram=decontam_ngram, jaccard=jaccard,
         chunk_tokens=chunk_tokens, overlap=overlap)["chunks"]
