@@ -1,0 +1,90 @@
+"""Deterministic corpus sampling + sharding for training-data prep.
+
+The last mile of a curation pipeline: mix domains/languages by
+weight, shuffle the corpus into a reproducible pseudo-random order,
+and split it into fixed shard files. All decisions are PURE FUNCTIONS
+of (doc content keys, seed) — no RNG state, so any subset of the
+corpus reproduces the same keep/shard/order decisions on any cluster
+size or retry (a property Spark's ``DataFrame.sample`` does NOT give
+across partitionings), and an independent engine can recompute them
+exactly (DuckDB parity tests).
+
+Portability: decisions hash ``md5(seed || ':' || key)`` and use the
+first 12 hex chars as a uniform integer in [0, 16^12) — md5 is
+available and bit-identical in Spark, DuckDB, and Python, unlike
+xxhash64, and 48 bits is plenty for a sampling threshold. The hash is
+JVM column algebra (whole-stage codegen); nothing leaves the scan
+stage for the keep decision, so weighted sampling composes into a
+curation chain as a narrow filter.
+
+Scale notes: ``weighted_sample`` is shuffle-free. ``shard_corpus``
+adds exactly one exchange (repartition by shard id) — the shuffle a
+shard writer needs anyway — and the within-shard sort rides the
+shuffle's sort-merge machinery (``sortWithinPartitions``), never a
+global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX_CHARS = 12  # 48 bits: uniform enough for per-mille thresholds
+_SPACE = float(16 ** _HEX_CHARS)
+
+
+def _unit_hash(key_col, seed: str):
+    """Uniform [0,1) double from md5(seed ':' key) — portable across
+    Spark/DuckDB/Python; both engines parse the same 12 hex chars."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key_col.cast("string")))
+    return F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10) \
+        .cast("double") / F.lit(_SPACE)
+
+
+def weighted_sample(docs: DataFrame, fractions: dict[str, float],
+                    group_col: str = "lang", key_col: str = "doc_id",
+                    seed: str = "mix-v1",
+                    default_fraction: float = 0.0) -> DataFrame:
+    """Keep each doc with its group's probability, deterministically.
+
+    ``fractions`` maps group values (e.g. language or domain) to keep
+    probabilities in [0, 1]; groups absent from the map use
+    ``default_fraction``. The decision is ``unit_hash(seed, key) <
+    fraction`` — a narrow filter: no shuffle, no RNG, stable under
+    retries/repartitioning, and the SAME doc set is kept when the
+    corpus grows (sampling by content key, not by position).
+    """
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} not in [0,1]: {frac}")
+    frac_expr = F.lit(float(default_fraction))
+    for g, frac in sorted(fractions.items()):
+        frac_expr = F.when(F.col(group_col) == g,
+                           F.lit(float(frac))).otherwise(frac_expr)
+    return docs.filter(_unit_hash(F.col(key_col), seed) < frac_expr)
+
+
+def shard_corpus(docs: DataFrame, n_shards: int,
+                 key_col: str = "doc_id",
+                 seed: str = "shard-v1") -> DataFrame:
+    """Assign every doc a shard and a reproducible pseudo-random order.
+
+    Adds ``shard`` (= floor(unit_hash * n_shards), uniform) and
+    ``shard_order`` (the 48-bit hash value itself — sorting a shard by
+    it IS the deterministic global shuffle of training order), then
+    repartitions by shard and sorts within partitions, so a
+    ``partitionBy('shard')``/per-file write emits each shard in its
+    final order with exactly ONE exchange and no global sort.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    u = _unit_hash(F.col(key_col), seed)
+    out = (docs
+           .withColumn("shard", F.floor(u * n_shards).cast("int"))
+           .withColumn("shard_order",
+                       F.conv(F.substring(
+                           F.md5(F.concat(F.lit(f"{seed}:"),
+                                          F.col(key_col).cast("string"))),
+                           1, _HEX_CHARS), 16, 10).cast("long")))
+    return (out.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "shard_order", key_col))

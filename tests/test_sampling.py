@@ -1,0 +1,100 @@
+"""Deterministic sampling/sharding vs exact DuckDB oracles."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from osm_sidewalkreator_spark.operators import sampling as SA
+from osm_sidewalkreator_spark.operators import textops as TX
+from osm_sidewalkreator_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark(shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    return d.withColumn("lang", TX.langid_expr())
+
+
+def _unit_sql(seed: str, key: str = "doc_id") -> str:
+    return (f"CAST('0x' || substr(md5('{seed}:' || "
+            f"CAST({key} AS VARCHAR)), 1, 12) AS UBIGINT)"
+            f" / CAST(16 ** 12 AS DOUBLE)")
+
+
+def test_weighted_sample_matches_duckdb(spark, docs):
+    fr = {"en": 0.8, "pt": 0.3}
+    got = (SA.weighted_sample(docs, fr, seed="mix-v1",
+                              default_fraction=0.05)
+           .select("doc_id").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pdf = docs.select("doc_id", "lang").toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    want = con.execute(f"""
+        SELECT doc_id FROM d
+        WHERE {_unit_sql('mix-v1')} <
+              CASE lang WHEN 'en' THEN 0.8 WHEN 'pt' THEN 0.3
+                   ELSE 0.05 END
+        ORDER BY doc_id
+    """).df()
+    con.close()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    # a real mix: some docs dropped, some kept
+    n = len(pdf)
+    assert 0.05 * n < len(got) < n
+
+
+def test_weighted_sample_is_narrow_and_stable(spark, docs):
+    plan = (SA.weighted_sample(docs, {"en": 0.5})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    # growing the corpus never flips an existing doc's decision
+    small = SA.weighted_sample(docs.filter("doc_id < 100"), {"en": 0.5})
+    big = SA.weighted_sample(docs, {"en": 0.5})
+    a = {r.doc_id for r in small.select("doc_id").collect()}
+    b = {r.doc_id for r in
+         big.filter("doc_id < 100").select("doc_id").collect()}
+    assert a == b
+
+
+def test_shard_corpus_matches_duckdb(spark, docs):
+    n_shards = 4
+    got = (SA.shard_corpus(docs, n_shards, seed="shard-v1")
+           .select("doc_id", "shard", "shard_order").toPandas())
+    pdf = docs.select("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    want = con.execute(f"""
+        SELECT doc_id,
+               CAST(floor({_unit_sql('shard-v1')} * {n_shards}) AS INT)
+                 AS shard,
+               CAST('0x' || substr(md5('shard-v1:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                 AS shard_order
+        FROM d
+    """).df()
+    con.close()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True) \
+        .astype(g.dtypes.to_dict())
+    pd.testing.assert_frame_equal(g, w)
+    # every shard non-empty and sizes roughly balanced at 500 docs
+    sizes = got.groupby("shard").size()
+    assert len(sizes) == n_shards and sizes.min() > 0
+    # within-partition order: ascending shard_order inside each shard
+    for _, grp in got.groupby("shard"):
+        so = grp.shard_order.tolist()
+        assert so == sorted(so)
+
+
+def test_shard_corpus_single_exchange(spark, docs):
+    plan = (SA.shard_corpus(docs, 4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
