@@ -55,6 +55,21 @@ def main(argv=None):
     ap.add_argument("--max-boilerplate", type=float, default=None,
                     help="drop docs whose corpus-common-shingle ratio "
                     "exceeds this (adds the DF-index shuffles)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="rewrite text through the PII placeholder "
+                    "chain before scoring (row-pure, zero shuffles)")
+    ap.add_argument("--decontaminate", default=None, metavar="PARQUET",
+                    help="path to an eval-corpus parquet with a text "
+                    "column; docs sharing any 8-gram with it are "
+                    "dropped (eval grams broadcast)")
+    ap.add_argument("--sample", default=None, metavar="SPEC",
+                    help="deterministic per-language keep fractions "
+                    "applied to the chunk-ready docs, e.g. "
+                    "'en=0.8,pt=0.3,default=0.05'")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="write chunks into N hash-sharded files in "
+                    "reproducible pseudo-random training order "
+                    "instead of lang partitions")
     ap.add_argument("--jaccard", type=float, default=0.5)
     ap.add_argument("--chunk-tokens", type=int, default=128)
     ap.add_argument("--overlap", type=int, default=16)
@@ -68,12 +83,16 @@ def main(argv=None):
 
     docs = load_table(spark, args.sf_dir, "documents")
     n_docs = docs.count()
+    evals = (spark.read.parquet(args.decontaminate)
+             if args.decontaminate else None)
     stages = curation_stages(
         docs,
         min_quality=args.min_quality,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         max_dup_3gram=args.max_dup_3gram,
         max_boilerplate=args.max_boilerplate,
+        scrub_pii=args.scrub_pii,
+        decontaminate_against=evals,
         jaccard=args.jaccard, chunk_tokens=args.chunk_tokens,
         overlap=args.overlap)
 
@@ -82,10 +101,28 @@ def main(argv=None):
      .write.mode("overwrite").parquet(str(out / "cluster_map")))
 
     chunks = stages["chunks"]
-    (chunks.write.mode("overwrite")
-     .option("maxRecordsPerFile", args.max_records_per_file)
-     .partitionBy("lang")
-     .parquet(str(out / "chunks")))
+    if args.sample:
+        from osm_sidewalkreator_spark.operators.sampling import (
+            weighted_sample)
+        spec = dict(kv.split("=") for kv in args.sample.split(","))
+        default = float(spec.pop("default", 0.0))
+        chunks = weighted_sample(
+            chunks, {k: float(v) for k, v in spec.items()},
+            group_col="lang", key_col="doc_id",
+            default_fraction=default)
+    if args.shards:
+        from osm_sidewalkreator_spark.operators.sampling import (
+            shard_corpus)
+        sharded = shard_corpus(chunks, args.shards, key_col="doc_id")
+        (sharded.write.mode("overwrite")
+         .option("maxRecordsPerFile", args.max_records_per_file)
+         .partitionBy("shard")
+         .parquet(str(out / "chunks")))
+    else:
+        (chunks.write.mode("overwrite")
+         .option("maxRecordsPerFile", args.max_records_per_file)
+         .partitionBy("lang")
+         .parquet(str(out / "chunks")))
 
     chunk_stats = (spark.read.parquet(str(out / "chunks"))
                    .agg(F.count(F.lit(1)).alias("n"),
