@@ -144,3 +144,13 @@ def test_curate_chain_with_scrub_and_decontam(spark):
     assert int(pdf.doc_id.iloc[0]) not in {r.doc_id for r in rows}
     base_cols = [c for c in CU.curate_corpus(docs).columns]
     assert out.columns == base_cols
+
+
+def test_decontaminate_broadcasts_small_sides(spark):
+    """Plan shape: the eval-gram join must be a broadcast join — the
+    corpus side never shuffles for the gram probe."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    evals = docs.filter("doc_id < 2").select("text")
+    plan = (TX.decontaminate(docs, evals, n=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan

@@ -98,3 +98,14 @@ def test_shard_corpus_single_exchange(spark, docs):
     plan = (SA.shard_corpus(docs, 4)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1
+
+
+def test_weighted_sample_fraction_monotone(spark, docs):
+    """Raising a group's fraction can only ADD docs (the unit-hash
+    threshold semantics) — the property that makes mix re-weighting
+    an incremental operation instead of a resample."""
+    lo = {r.doc_id for r in SA.weighted_sample(
+        docs, {"en": 0.3}, seed="s").select("doc_id").collect()}
+    hi = {r.doc_id for r in SA.weighted_sample(
+        docs, {"en": 0.6}, seed="s").select("doc_id").collect()}
+    assert lo < hi
