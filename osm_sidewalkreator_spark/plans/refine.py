@@ -245,9 +245,20 @@ def insert_extra_vertices(lines: list[np.ndarray],
         nodes = ref_nodes
         if line_owners is not None and node_owners is not None:
             nodes = ref_nodes[node_owners != line_owners[li]]
-            if len(nodes) == 0:
-                out.append(ln)
-                continue
+        # a node that already IS a subject vertex (bitwise) must never
+        # be inserted again — this is what makes the refinement
+        # idempotent (pass 1 inserts the node into its closest segment;
+        # the node may still sit within tol of ANOTHER segment's
+        # interior, but it is a vertex now)
+        if len(nodes):
+            vkey = np.ascontiguousarray(ln).view(
+                np.dtype((np.void, 16))).ravel()
+            nkey = np.ascontiguousarray(nodes).view(
+                np.dtype((np.void, 16))).ravel()
+            nodes = nodes[~np.isin(nkey, vkey)]
+        if len(nodes) == 0:
+            out.append(ln)
+            continue
         a, b = ln[:-1], ln[1:]
         dx = (b - a)[:, 0][None, :]
         dy = (b - a)[:, 1][None, :]

@@ -91,3 +91,77 @@ def test_quantizer_contract(spark, vecs):
             assert c == max(-127, min(127, math.floor(x / scale + 0.5)))
             # reconstruction error bound: half a quantization step
             assert abs(x - c * scale) <= scale / 2 + 1e-12
+
+
+# --- J11 insert-extra-vertices (pure NumPy, cheap examples) ----------
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_insert_extra_vertices_properties(data):
+    """Invariants for the QGIS 'insert extra vertices' refinement:
+
+    1. endpoints never change; original vertices all survive in order;
+    2. every inserted vertex equals some reference node within tol of
+       the ORIGINAL polyline;
+    3. no duplication — repeated application never inserts a node
+       that is already a vertex (a second pass MAY legitimately insert
+       OTHER nodes: an insertion bends the line, which can pull a
+       previously out-of-reach node inside the tolerance, exactly as a
+       second native:snapgeometries run would).
+    """
+    from osm_sidewalkreator_spark.plans import refine
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    nv = data.draw(st.integers(2, 6))
+    line = np.cumsum(rng.uniform(-5, 5, size=(nv, 2)), axis=0)
+    n_nodes = data.draw(st.integers(0, 8))
+    tol = data.draw(st.sampled_from([0.05, 0.3, 1.0]))
+    # nodes: a mix of near-line points and far points
+    nodes = []
+    for _ in range(n_nodes):
+        if rng.random() < 0.5 and nv >= 2:
+            seg = rng.integers(0, nv - 1)
+            t = rng.uniform(0.05, 0.95)
+            p = line[seg] * (1 - t) + line[seg + 1] * t
+            nodes.append(p + rng.uniform(-tol, tol, 2))
+        else:
+            nodes.append(rng.uniform(-50, 50, 2))
+    nodes = np.array(nodes) if nodes else np.empty((0, 2))
+
+    out = refine.insert_extra_vertices([line.copy()], nodes, tol=tol)[0]
+
+    # 1: original vertices survive as an ordered subsequence
+    i = 0
+    for v in out:
+        if i < len(line) and np.array_equal(v, line[i]):
+            i += 1
+    assert i == len(line)
+    assert np.array_equal(out[0], line[0])
+    assert np.array_equal(out[-1], line[-1])
+
+    # 2: inserted vertices are reference nodes within tol of the line
+    orig = {tuple(v) for v in line}
+    nodeset = {tuple(v) for v in nodes}
+    for v in out:
+        tv = tuple(v)
+        if tv in orig:
+            continue
+        assert tv in nodeset
+        d = min(
+            np.hypot(*(np.asarray(tv)
+                       - (a + np.clip(np.dot(np.asarray(tv) - a, b - a)
+                                      / max(np.dot(b - a, b - a), 1e-300),
+                                      0, 1) * (b - a))))
+            for a, b in zip(line[:-1], line[1:]))
+        assert d <= tol + 1e-9
+
+    # 3: no duplication under repeated application
+    again = refine.insert_extra_vertices([out.copy()], nodes, tol=tol)[0]
+    keys = [tuple(v) for v in again]
+    assert len(keys) == len(set(keys))
+    # and every original vertex still survives in order
+    i = 0
+    for v in again:
+        if i < len(out) and np.array_equal(v, out[i]):
+            i += 1
+    assert i == len(out)
