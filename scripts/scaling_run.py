@@ -231,6 +231,23 @@ def _report(lo, hi, sf_dir, n):
             f"wall is **{best[0]['value']} s** ({best[1].name}, "
             "local[32]).",
         ]
+    # in-round rehearsal bench runs (self-validating: bench.py stamps
+    # steal/load/fault-probe host conditions into the JSON itself)
+    rehearsals = []
+    for p in sorted((REPO / "BENCH").glob("BENCH_r*_rehearsal.json")):
+        d = json.loads(p.read_text())
+        if isinstance(d, dict) and "value" in d:
+            rehearsals.append((d, p))
+    if rehearsals:
+        md += ["", "In-round rehearsal runs (host conditions stamped "
+               "inside each JSON by bench.py):", ""]
+        for d, p in rehearsals:
+            h = d.get("host", {})
+            md.append(
+                f"- **{d['value']} s** ({p.name}, {h.get('ts_utc', '?')}) "
+                f"— steal during {h.get('steal_pct_during', '?')}%, "
+                f"quiet={h.get('quiet')}, "
+                f"fault_throttled={h.get('fault_throttled')}")
     md += [
         "",
         "Per-query efficiency:",
