@@ -104,11 +104,24 @@ def main(argv=None):
     if args.sample:
         from osm_sidewalkreator_spark.operators.sampling import (
             weighted_sample)
-        spec = dict(kv.split("=") for kv in args.sample.split(","))
-        default = float(spec.pop("default", 0.0))
+        spec = {}
+        for kv in args.sample.split(","):
+            kv = kv.strip()
+            if not kv:
+                continue
+            key, sep, val = kv.partition("=")
+            if not sep or not key.strip():
+                raise SystemExit(
+                    f"--sample: expected lang=fraction, got {kv!r}")
+            try:
+                spec[key.strip()] = float(val)
+            except ValueError:
+                raise SystemExit(
+                    f"--sample: fraction for {key.strip()!r} is not a "
+                    f"number: {val!r}") from None
+        default = spec.pop("default", 0.0)
         chunks = weighted_sample(
-            chunks, {k: float(v) for k, v in spec.items()},
-            group_col="lang", key_col="doc_id",
+            chunks, spec, group_col="lang", key_col="doc_id",
             default_fraction=default)
     if args.shards:
         from osm_sidewalkreator_spark.operators.sampling import (

@@ -10,35 +10,51 @@ uniform grid hash (the R-tree prefilter analog of
 
 from __future__ import annotations
 
-from functools import lru_cache
+from collections import OrderedDict
 
 import numpy as np
 
 SNAP = 1e-5  # coordinate snap grid, meters (0.01 mm)
 
 
-# Cache only small-n entries: one (n, k) entry is two O(n^2) int64
-# arrays (n=2048 -> ~32 MB/entry worst case; n=10k would be ~1.6 GB),
-# and lru_cache bounds ENTRY COUNT, not bytes — so large skewed group
-# sizes must bypass the cache or a long-lived executor pins unbounded
-# memory.
-_TRIU_CACHE_MAX_N = 2048
+# The cache is bounded by TOTAL BYTES, not entry count: one (n, k)
+# entry is two O(n^2) int64 arrays (n=2048 -> ~33.5 MB), so an
+# entry-count LRU (the first fix) still allowed multi-GB residency on
+# a long-lived executor whose cell-group sizes were diverse. Entries
+# above the whole budget are computed uncached; older entries evict
+# LRU-first when the budget fills.
+_TRIU_BUDGET_BYTES = 64 * 2 ** 20
 
 
-@lru_cache(maxsize=512)
-def _triu_small(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
-    return np.triu_indices(n, k=k)
+def _triu_nbytes(val: tuple[np.ndarray, np.ndarray]) -> int:
+    return val[0].nbytes + val[1].nbytes
+
+
+_triu_store: "OrderedDict[tuple[int, int], tuple[np.ndarray, np.ndarray]]" \
+    = OrderedDict()
+_triu_store_bytes = 0
 
 
 def _triu_cached(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """``np.triu_indices`` with a bounded cache — group sizes repeat
-    heavily (disc arcs bucket whole rings into one cell), and
+    """``np.triu_indices`` with a byte-budgeted LRU cache — group sizes
+    repeat heavily (disc arcs bucket whole rings into one cell), and
     rebuilding the index per group was a measured hotspot. Callers
-    only read the arrays. Groups larger than ``_TRIU_CACHE_MAX_N``
-    are computed uncached (rare, and too big to pin)."""
-    if n <= _TRIU_CACHE_MAX_N:
-        return _triu_small(n, k)
-    return np.triu_indices(n, k=k)
+    only read the arrays."""
+    global _triu_store_bytes
+    key = (n, k)
+    hit = _triu_store.get(key)
+    if hit is not None:
+        _triu_store.move_to_end(key)
+        return hit
+    val = np.triu_indices(n, k=k)
+    nbytes = _triu_nbytes(val)
+    if nbytes <= _TRIU_BUDGET_BYTES:
+        _triu_store[key] = val
+        _triu_store_bytes += nbytes
+        while _triu_store_bytes > _TRIU_BUDGET_BYTES:
+            _, old = _triu_store.popitem(last=False)
+            _triu_store_bytes -= _triu_nbytes(old)
+    return val
 
 
 def snap_round(a: np.ndarray, snap: float = SNAP) -> np.ndarray:

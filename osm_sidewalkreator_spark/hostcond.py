@@ -167,8 +167,13 @@ class HostMonitor:
         during = 100.0 * (s1 - s0) / max(t1 - t0, 1)
         post_wide = stream_probe(self.n_wide, mb=64, dur=self.stream_sec)
         pre = self.pre
+        # the POST probe participates in the verdict: a throttle window
+        # that begins mid-run (pre probes healthy, post alloc-limited)
+        # must not be stamped quiet — that is exactly the misattribution
+        # this module exists to prevent
         fault_ok = (not pre["stream_1"]["alloc_limited"]
-                    and not pre["stream_wide"]["alloc_limited"])
+                    and not pre["stream_wide"]["alloc_limited"]
+                    and not post_wide["alloc_limited"])
         stamp = {
             "pre": pre,
             "steal_pct_during": round(during, 2),
@@ -177,7 +182,7 @@ class HostMonitor:
             "ts_utc": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
             # one-glance adjudication: quiet iff steal stayed under the
             # pipe4_hunt gate before and during AND the memory system
-            # was not in the fault-throttled regime at the start
+            # was out of the fault-throttled regime at both brackets
             "quiet": bool(pre["steal_pct"] < 2.0 and during < 2.0
                           and fault_ok),
             "fault_throttled": not fault_ok,

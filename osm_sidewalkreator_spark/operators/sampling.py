@@ -57,6 +57,9 @@ def weighted_sample(docs: DataFrame, fractions: dict[str, float],
     for g, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {g!r} not in [0,1]: {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction not in [0,1]: {default_fraction}")
     frac_expr = F.lit(float(default_fraction))
     for g, frac in sorted(fractions.items()):
         frac_expr = F.when(F.col(group_col) == g,
@@ -78,13 +81,17 @@ def shard_corpus(docs: DataFrame, n_shards: int,
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1: {n_shards}")
-    u = _unit_hash(F.col(key_col), seed)
+    # one hash per row: shard_order IS the 48-bit hash integer, and
+    # shard = floor((order / 16^12) * n) reproduces _unit_hash's value
+    # bit-exactly (order/2^48 is an exact double, same rounding as the
+    # string->double cast inside _unit_hash)
+    order_col = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+        1, _HEX_CHARS), 16, 10).cast("long")
     out = (docs
-           .withColumn("shard", F.floor(u * n_shards).cast("int"))
-           .withColumn("shard_order",
-                       F.conv(F.substring(
-                           F.md5(F.concat(F.lit(f"{seed}:"),
-                                          F.col(key_col).cast("string"))),
-                           1, _HEX_CHARS), 16, 10).cast("long")))
+           .withColumn("shard_order", order_col)
+           .withColumn("shard",
+                       F.floor(F.col("shard_order").cast("double")
+                               / F.lit(_SPACE) * n_shards).cast("int")))
     return (out.repartition(n_shards, "shard")
             .sortWithinPartitions("shard", "shard_order", key_col))

@@ -367,17 +367,26 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         dup_ngram_expr(3).alias("dup_3gram_frac"))
 
 
+def word_ngram_array(col, n: int):
+    """All word ``n``-grams of ``col`` (space-tokenized) as an array
+    Column — the shared shifted-slice ``zip_with`` builder behind
+    ``dup_ngram_expr`` and ``decontaminate`` (one implementation so a
+    tokenization fix cannot silently diverge them). Empty array when
+    the doc has fewer than ``n`` tokens."""
+    toks = F.split(col, " ")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    return g
+
+
 def dup_ngram_expr(k: int = 3):
     """Duplicate word-k-gram fraction as a plain Column over ``text``
     (0.0 when the doc has no k-gram), for shuffle-free filter
     composition (plans/curate.py ``max_dup_3gram``)."""
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    m = F.greatest(n - (k - 1), F.lit(0))
-    parts = [F.slice(toks, i + 1, m) for i in range(k)]
-    g = parts[0]
-    for p in parts[1:]:
-        g = F.zip_with(g, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    g = word_ngram_array(F.col("text"), k)
     return F.when(F.size(g) > 0,
                   F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g),
                           9) + 0.0).otherwise(F.lit(0.0))
@@ -503,26 +512,24 @@ def decontaminate(docs: DataFrame, eval_texts: DataFrame, n: int = 8,
 
     Scale shape: the EVAL side is tiny (benchmarks are KBs-MBs), so its
     distinct n-grams broadcast; the corpus side explodes its n-grams
-    once, inner-joins the broadcast set, and aggregates hit counts per
-    doc — corpus rows never shuffle, only the (doc_id, hit) pairs do.
-    Returns docs + ``n_contaminated_ngrams`` (0 for clean docs); filter
-    ``== 0`` (or left-anti on the flagged ids) to drop.
+    once and inner-joins the broadcast set map-side, so only the
+    (doc_id, hit) pairs reach the per-doc aggregation. The final
+    join-back of hit counts onto ``docs`` keys both sides by doc_id
+    (the hits side is usually tiny — AQE broadcasts it); callers that
+    only need to DROP flagged docs should instead left-anti against
+    the flagged id set, as ``plans/curate.py`` does, which adds no
+    corpus-wide shuffle. Returns docs + ``n_contaminated_ngrams`` (0
+    for clean docs).
     """
     from pyspark.sql.functions import broadcast
 
-    def grams(df, col):
-        toks = F.split(F.col(col), " ")
-        m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        parts = [F.slice(toks, i + 1, m) for i in range(n)]
-        g = parts[0]
-        for p in parts[1:]:
-            g = F.zip_with(g, p, lambda x, y: F.concat(x, F.lit(" "), y))
-        return F.array_distinct(g)
+    def grams(col):
+        return F.array_distinct(word_ngram_array(F.col(col), n))
 
-    ev = (eval_texts.select(F.explode(grams(eval_texts, eval_text_col))
+    ev = (eval_texts.select(F.explode(grams(eval_text_col))
                             .alias("gram")).distinct())
     hits = (docs.select("doc_id",
-                        F.explode(grams(docs, text_col)).alias("gram"))
+                        F.explode(grams(text_col)).alias("gram"))
             .join(broadcast(ev), "gram")
             .groupBy("doc_id")
             .agg(F.count("*").cast("long")

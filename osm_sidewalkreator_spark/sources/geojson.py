@@ -101,12 +101,18 @@ def write_merged_geojson(features_4326: DataFrame, path: str,
     # The glob below reads the driver-local filesystem; on a cluster
     # without shared storage (or after a write failure) it can come up
     # empty — fail loudly instead of emitting a valid-but-empty
-    # FeatureCollection.
-    if not os.path.exists(os.path.join(parts_dir, "_SUCCESS")):
+    # FeatureCollection. Sessions configured with
+    # marksuccessfuljobs=false commit without a marker, so the marker
+    # alone is not required — but with NEITHER marker nor part files
+    # the write cannot have committed here, and without the marker the
+    # streamed line count is verified against the DataFrame below.
+    has_marker = os.path.exists(os.path.join(parts_dir, "_SUCCESS"))
+    if not has_marker and not glob.glob(parts_dir + "/part-*"):
         raise IOError(
-            f"{parts_dir}: no _SUCCESS marker — the text write did not "
-            "commit, or the parts are not on the driver's filesystem "
-            "(shared storage required for the merged-file path)")
+            f"{parts_dir}: no _SUCCESS marker and no part files — the "
+            "text write did not commit, or the parts are not on the "
+            "driver's filesystem (shared storage required for the "
+            "merged-file path)")
     n = 0
     with open(path, "w") as f:
         f.write('{"type":"FeatureCollection","features":[\n')
@@ -127,6 +133,11 @@ def write_merged_geojson(features_4326: DataFrame, path: str,
         raise IOError(
             f"{parts_dir}: part files held 0 features but the input is "
             "non-empty — refusing to emit an empty FeatureCollection")
+    if not has_marker and n != (expected := rows.count()):
+        raise IOError(
+            f"{parts_dir}: no _SUCCESS marker and streamed {n} features "
+            f"vs {expected} input rows — partial commit; refusing to "
+            "emit a truncated FeatureCollection")
     if not keep_parts:
         shutil.rmtree(parts_dir)
     return n

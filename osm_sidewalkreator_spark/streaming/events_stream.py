@@ -45,9 +45,25 @@ def minutely_event_counts_stream(spark: SparkSession, events_dir: str,
     unbounded on a real stream; kept only as a bounded-input debugging
     flag.
     """
-    schema = spark.read.parquet(events_dir).schema
+    batch = spark.read.parquet(events_dir)
+    schema = batch.schema
     reader = spark.readStream.schema(schema)
     if output_mode == "append":
+        # append mode only emits windows the final watermark has passed
+        # — on a bounded availableNow input that requires a staged
+        # sentinel row past every real window, or the tail of the data
+        # (at least the last `watermark` worth) is silently never
+        # emitted. Refuse to run lossy rather than return a truncated
+        # result (the input is bounded by contract, so this one cheap
+        # scan is acceptable).
+        if batch.filter(F.col("event_type") == "_sentinel") \
+                .limit(1).count() == 0:
+            raise ValueError(
+                f"{events_dir}: append mode needs a watermark-advancing "
+                "sentinel row (event_type='_sentinel') staged after the "
+                "real events — use run_events_stream / "
+                "_stage_events_with_sentinel, or pass "
+                "output_mode='complete' for bounded-input debugging")
         # one file per micro-batch: the (older-mtime) real file's batch
         # advances the watermark so the sentinel batch can close and
         # evict every real window
