@@ -234,13 +234,16 @@ def _report(lo, hi, sf_dir, n):
     # in-round rehearsal bench runs (self-validating: bench.py stamps
     # steal/load/fault-probe host conditions into the JSON itself)
     rehearsals = []
-    for p in sorted((REPO / "BENCH").glob("BENCH_r*_rehearsal.json")):
+    for p in sorted((REPO / "BENCH").glob("BENCH_r*_rehearsal*.json")):
         d = json.loads(p.read_text())
         if isinstance(d, dict) and "value" in d:
             rehearsals.append((d, p))
     if rehearsals:
         md += ["", "In-round rehearsal runs (host conditions stamped "
-               "inside each JSON by bench.py):", ""]
+               "inside each JSON by bench.py). Counters are "
+               "bit-identical across rehearsals of the same code, so "
+               "wall-clock deltas between them read directly against "
+               "the stamped steal/fault conditions:", ""]
         for d, p in rehearsals:
             h = d.get("host", {})
             md.append(
