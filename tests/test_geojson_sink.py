@@ -88,3 +88,20 @@ def test_keep_parts_manifest(features, tmp_path):
     import glob
     parts = glob.glob(path + ".parts/part-*")
     assert parts  # manifest retained for the at-scale path
+
+def test_no_marker_but_committed_parts_ok(features, tmp_path,
+                                          monkeypatch):
+    """marksuccessfuljobs=false sessions commit without a _SUCCESS
+    marker; the writer must accept the committed parts and verify the
+    streamed count against the DataFrame instead of raising."""
+    import os
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        os.path, "exists",
+        lambda p: False if str(p).endswith("_SUCCESS")
+        else real_exists(p))
+    path = str(tmp_path / "nomarker.geojson")
+    n = GJ.write_merged_geojson(features, path)
+    assert n == 120
+    doc = json.loads(open(path).read())
+    assert len(doc["features"]) == 120

@@ -427,3 +427,29 @@ def test_pipeline_dangle_iterations_g15(city):
                                 dangle_iterations=2)
     assert stub_count(one) == 1      # tip removed, middle piece stays
     assert stub_count(two) == 0      # fixpoint reached at N=2
+
+def test_triu_cache_byte_budget():
+    """The triu-index cache is bounded by TOTAL BYTES: filling it with
+    many distinct sizes must keep residency under the budget (the old
+    entry-count LRU allowed multi-GB in the worst case), while repeat
+    lookups still hit."""
+    from osm_sidewalkreator_spark.geometry import noding as ND
+    ND._triu_store.clear()
+    ND._triu_store_bytes = 0
+    for n in range(600, 2001, 50):     # ~29 distinct sizes, MBs each
+        ii, jj = ND._triu_cached(n, 1)
+        assert len(ii) == n * (n - 1) // 2
+    assert 0 < ND._triu_store_bytes <= ND._TRIU_BUDGET_BYTES
+    stored = sum(v[0].nbytes + v[1].nbytes
+                 for v in ND._triu_store.values())
+    assert stored == ND._triu_store_bytes
+    # a hit returns the cached arrays (identity, not a rebuild)
+    n_last = 2000
+    if (n_last, 1) in ND._triu_store:
+        again = ND._triu_cached(n_last, 1)
+        assert again[0] is ND._triu_store[(n_last, 1)][0]
+    # an entry larger than the whole budget is computed but not stored
+    before = ND._triu_store_bytes
+    big = ND._triu_cached(4000, 1)     # ~128 MB > 64 MB budget
+    assert len(big[0]) == 4000 * 3999 // 2
+    assert ND._triu_store_bytes == before

@@ -109,3 +109,9 @@ def test_weighted_sample_fraction_monotone(spark, docs):
     hi = {r.doc_id for r in SA.weighted_sample(
         docs, {"en": 0.6}, seed="s").select("doc_id").collect()}
     assert lo < hi
+
+def test_weighted_sample_rejects_bad_fractions(spark, docs):
+    with pytest.raises(ValueError):
+        SA.weighted_sample(docs, {"en": 1.5})
+    with pytest.raises(ValueError):
+        SA.weighted_sample(docs, {"en": 0.5}, default_fraction=8.0)

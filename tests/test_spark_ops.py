@@ -319,6 +319,19 @@ def test_minutely_stream_append_evicts_state(spark):
     assert len(state) >= 2 and state[-1] <= 1 and state[-1] < max(state)
 
 
+def test_minutely_append_requires_sentinel(spark):
+    """Direct append-mode calls on a directory WITHOUT a staged
+    sentinel must refuse to run (the final watermark would silently
+    swallow at least the last `watermark` worth of windows) instead of
+    returning a truncated result."""
+    import pytest
+    from osm_sidewalkreator_spark.streaming import events_stream as ES
+    with pytest.raises(ValueError, match="sentinel"):
+        ES.minutely_event_counts_stream(
+            spark, f"{SF}/events.parquet",
+            query_name="no_sentinel_should_raise")
+
+
 def test_embedding_neardup_lsh_subset(spark):
     """LSH-candidate near-dup dedup only ever KEEPS more than exact
     (a missed candidate pair keeps a duplicate, never drops a
