@@ -66,21 +66,67 @@ def _run(tiles, n: int) -> float:
         return time.time() - t0
 
 
+def _steal():
+    f = open("/proc/stat").readline().split()
+    v = [int(x) for x in f[1:]]
+    return v[7], sum(v)
+
+
 def main():
+    from osm_sidewalkreator_spark import hostcond
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     tiles = _load_tiles(sf_dir)
-    walls = {}
+    fault_pre = hostcond.stream_probe(1, mb=64, dur=1.0,
+                                      alloc_deadline=5.0)
+    walls, steals = {}, {}
     for procs in (n, 4 * n):
+        s0, t0 = _steal()
         best = min(_run(tiles, procs) for _ in range(2))
+        s1, t1 = _steal()
         walls[procs] = round(best, 2)
-        print(f"mp n={procs}: {walls[procs]}s", file=sys.stderr)
+        steals[procs] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+        print(f"mp n={procs}: {walls[procs]}s steal {steals[procs]}%",
+              file=sys.stderr)
+    fault_post = hostcond.stream_probe(1, mb=64, dur=1.0,
+                                       alloc_deadline=5.0)
     eff = round((walls[n] / walls[4 * n]) / 4, 3)
-    out = {"sf_dir": sf_dir, "n_low": n, "n_high": 4 * n,
-           "n_tiles": len(tiles), "walls": walls, "efficiency": eff}
+    sample = {
+        "ts_utc": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "walls": walls, "efficiency": eff, "steal_pct": steals,
+        "fault_pre": fault_pre, "fault_post": fault_post,
+    }
     bench = REPO / "BENCH"
     bench.mkdir(exist_ok=True)
-    (bench / "MP_CONTROL.json").write_text(json.dumps(out, indent=2))
+    path = bench / "MP_CONTROL.json"
+    prev = json.loads(path.read_text()) if path.exists() else {}
+    samples = prev.get("samples", [])
+    if not samples and "walls" in prev:
+        # migrate the pre-stamping single-sample format
+        samples.append({"ts_utc": "pre-stamping",
+                        "walls": prev["walls"],
+                        "efficiency": prev["efficiency"]})
+    samples.append(sample)
+    # this control measures a CEILING (what the host can deliver to
+    # the warmed kernel), so the headline is the best sample — but
+    # only among steal-clean ones: steal slows whichever leg it lands
+    # on, so a contaminated sample's ratio is noise in EITHER
+    # direction (a steal-slowed narrow leg fakes high efficiency).
+    # Legacy samples predate the stamps and were recorded under the
+    # steal-gated runner, so they stay eligible. Every sample stays
+    # listed with its own conditions.
+    def _clean(s):
+        sp = s.get("steal_pct")
+        return sp is None or max(sp.values()) < 2.5
+
+    eligible = [s for s in samples if _clean(s)] or samples
+    best_s = max(eligible, key=lambda s: s["efficiency"])
+    out = {"sf_dir": sf_dir, "n_low": n, "n_high": 4 * n,
+           "n_tiles": len(tiles),
+           "walls": best_s["walls"], "efficiency": best_s["efficiency"],
+           "best_ts": best_s.get("ts_utc"), "samples": samples}
+    path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
 

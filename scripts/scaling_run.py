@@ -376,6 +376,18 @@ def _report(lo, hi, sf_dir, n):
             "before).",
         ]
         if mp.get("samples"):
+            md += ["", "Stamped samples (the control measures a "
+                   "ceiling, so the headline above is the best "
+                   "sample; each is listed with its own host "
+                   "conditions):", ""]
+            for s in mp["samples"]:
+                fp = s.get("fault_pre", {})
+                md.append(
+                    f"- {s.get('ts_utc', '?')}: eff {s['efficiency']} "
+                    f"(walls {s['walls']}), steal "
+                    f"{s.get('steal_pct', '?')}, fault_pre "
+                    f"{fp.get('fault_gib_s', '?')} GiB/s")
+        if mp.get("samples"):
             effs = [s["efficiency"] for s in mp["samples"]]
             md += [
                 "",
