@@ -393,7 +393,9 @@ def _report(lo, hi, sf_dir, n):
                 "",
                 f"Back-to-back samples (same binary, same tiles): "
                 f"{', '.join(str(e) for e in effs)} — spread is "
-                "host-window variance."
+                "host-window variance (steal-contaminated samples "
+                "are listed but excluded from the headline; steal on "
+                "the narrow leg inflates the ratio)."
                 + (f" Pre-cache-blocking baseline: "
                    f"{mp['pre_chunking']['efficiency']} "
                    f"(32-wide wall {mp['pre_chunking']['walls']['32']}"
