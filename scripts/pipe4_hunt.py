@@ -123,6 +123,27 @@ def _leg(cpus: int) -> tuple[dict, float]:
     return _steal_pct(run)
 
 
+def _leg_retry(cpus: int, attempts: int = 3) -> tuple[dict, float]:
+    """Run a leg, retrying (after a short re-quiet wait) when steal
+    landed on it — one stolen leg should not discard a round whose
+    other leg already ran clean (scaling_run.py has always retried its
+    legs; the hunter now does too). Every attempt's steal is printed;
+    the RETURNED leg's steal is what the pair records."""
+    res, st = _leg(cpus)
+    for _ in range(attempts - 1):
+        if st <= STEAL_MAX:
+            break
+        print(f"  retry n={cpus}: steal {st:.2f}% > {STEAL_MAX}",
+              flush=True)
+        s0, t0 = _steal()
+        time.sleep(30)
+        s1, t1 = _steal()
+        if 100.0 * (s1 - s0) / max(t1 - t0, 1) >= 2.0:
+            continue          # still noisy; burn another wait slot
+        res, st = _leg(cpus)
+    return res, st
+
+
 def _burn(dur: float) -> int:
     t_end = time.time() + dur
     x, it = 1.0001, 0
@@ -151,11 +172,11 @@ def main():
         LOCK.write_text(str(os.getpid()))
         try:
             fault_pre = _fault_probe()
-            hi, st_hi = _leg(n_high)
+            hi, st_hi = _leg_retry(n_high)
             print(f"  high {hi} steal {st_hi:.2f}%", flush=True)
             if st_hi > STEAL_MAX:
                 continue
-            lo, st_lo = _leg(n_low)
+            lo, st_lo = _leg_retry(n_low)
             print(f"  low {lo} steal {st_lo:.2f}%", flush=True)
             if st_lo > STEAL_MAX:
                 continue
