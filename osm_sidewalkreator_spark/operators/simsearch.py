@@ -255,26 +255,34 @@ def embedding_neardup_dedup(emb: DataFrame, threshold: float = 0.35,
 
 
 def cosine_topk_ivf(emb: DataFrame, k: int = 5, query_mod: int = 50,
-                    n_centroids: int = 32, n_probe: int = 6) -> DataFrame:
+                    n_centroids: int = 32, n_probe: int = 6,
+                    centroids: list | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition vectors by
     nearest centroid, search a query only within its ``n_probe``
     closest centroid cells.
 
-    Centroids are a deterministic uniform sample of the corpus itself
-    (the ``n_centroids`` smallest xxhash64(vec_id) values — no RNG
-    state, reproducible across runs); one-iteration k-means refinement
-    is deliberately omitted to keep the operator stateless. Scale
-    shape: the centroid table is driver-small and broadcast, vector
-    assignment is one broadcast-join argmin pass (JVM column algebra),
-    and the candidate join shuffles on the centroid id — per-query
-    work is bounded by the n_probe largest cells instead of N.
+    Default centroids are a deterministic uniform sample of the corpus
+    itself (the ``n_centroids`` smallest xxhash64(vec_id) values — no
+    RNG state, reproducible across runs), keeping the operator
+    stateless; pass ``centroids`` (e.g. from
+    ``kmeans_fit_spherical``) to search against a trained coarse
+    quantizer instead. Scale shape: the centroid table is
+    driver-small and broadcast, vector assignment is one
+    broadcast-join argmin pass (JVM column algebra), and the candidate
+    join shuffles on the centroid id — per-query work is bounded by
+    the n_probe largest cells instead of N.
     """
     e = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
-    cent = (e.withColumn("_h", F.xxhash64("vec_id"))
-            .orderBy("_h").limit(n_centroids)
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("v").alias("cv")))
+    if centroids is not None:
+        cent = e.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cid long, cv array<double>")
+    else:
+        cent = (e.withColumn("_h", F.xxhash64("vec_id"))
+                .orderBy("_h").limit(n_centroids)
+                .select(F.col("vec_id").alias("cid"),
+                        F.col("v").alias("cv")))
     sim_c = _dot(F.col("v"), F.col("cv")) \
         / (_norm(F.col("v")) * _norm(F.col("cv")))
     scored = (e.crossJoin(F.broadcast(cent))
@@ -315,6 +323,92 @@ def ivf_recall_at_k(emb: DataFrame, k: int = 5, query_mod: int = 50,
     hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
     n_truth = truth.count()
     return (hit.count() / n_truth) if n_truth else 1.0
+
+
+def kmeans_fit_spherical(emb: DataFrame, n_centroids: int = 32,
+                         iters: int = 4) -> list:
+    """Distributed spherical k-means (Lloyd) — an IVF coarse-quantizer
+    trainer. Returns ``n_centroids`` unit vectors (list of lists);
+    cell id = list index.
+
+    Init = the ``n_centroids`` vectors with the smallest
+    ``xxhash64(vec_id)``, unit-normalized — the same deterministic
+    sample rule ``cosine_topk_ivf`` uses standalone, so ``iters=0``
+    reproduces that operator's cells exactly. Each Lloyd iteration:
+
+    * assignment — ONE narrow projection: the k centroids ride into
+      the scan as an array literal; the best cell is
+      ``array_position(sims, array_max(sims)) - 1`` (first max, so
+      ties resolve to the lowest cell id — matching NumPy ``argmax``
+      in the test oracle). No join, no shuffle.
+    * update — one map-side-combined ``groupBy(cid)`` of
+      per-dimension sums + counts: the only shuffle, and what crosses
+      it is k rows x dim doubles PER PARTITION, independent of corpus
+      size.
+    * renormalize / empty-cell carry-over — driver-side on the k-row
+      model (the centroid table IS the model; collecting k*dim
+      doubles is the algorithm, not a scale leak).
+
+    Spherical (normalize inputs, mean, renormalize) rather than
+    Euclidean because the IVF search metric is cosine: assignment by
+    max dot of unit vectors IS nearest-by-cosine. Fixed-iteration
+    convergence (IVF trainers run 4-10 Lloyd rounds); the normalized
+    corpus is cached across iterations and released before returning.
+    """
+    import math
+
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1: {n_centroids}")
+    nrm = _norm(F.col("v"))
+    vn = F.when(nrm > F.lit(0.0),
+                F.transform(F.col("v"), lambda x: x / nrm)) \
+         .otherwise(F.col("v"))
+    e = (emb.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"))
+         .select("vec_id", vn.alias("vn")))
+    e = e.persist()
+    try:
+        init = (e.withColumn("_h", F.xxhash64("vec_id"))
+                .orderBy("_h").limit(n_centroids).select("vn").collect())
+        cents = [list(r.vn) for r in init]
+        if not cents:
+            return []
+        dim = len(cents[0])
+        sums = [F.sum(F.col("vn")[i]).alias(f"s{i}") for i in range(dim)]
+        for _ in range(iters):
+            cmat = F.array(*[F.lit(c) for c in cents])
+            sims = F.transform(cmat, lambda cv: _dot(F.col("vn"), cv))
+            best = (F.array_position(sims, F.array_max(sims)) - 1) \
+                .cast("int")
+            rows = (e.withColumn("cid", best)
+                    .groupBy("cid").agg(*sums).collect())
+            nxt = [list(c) for c in cents]  # empty cell keeps its centroid
+            for r in rows:
+                vec = [r[f"s{i}"] for i in range(dim)]
+                ln = math.sqrt(sum(x * x for x in vec))
+                if ln > 0.0:
+                    nxt[r["cid"]] = [x / ln for x in vec]
+            cents = nxt
+        return cents
+    finally:
+        e.unpersist()
+
+
+def assign_cells(emb: DataFrame, centroids: list) -> DataFrame:
+    """(vec_id, cid) under max-cosine assignment to ``centroids`` —
+    the same shuffle-free literal-array expression the k-means
+    iterations use, exposed for building/inspecting IVF lists."""
+    nrm = _norm(F.col("v"))
+    vn = F.when(nrm > F.lit(0.0),
+                F.transform(F.col("v"), lambda x: x / nrm)) \
+         .otherwise(F.col("v"))
+    e = (emb.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"))
+         .select("vec_id", vn.alias("vn")))
+    cmat = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    sims = F.transform(cmat, lambda cv: _dot(F.col("vn"), cv))
+    best = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return e.select("vec_id", best.alias("cid"))
 
 
 def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
