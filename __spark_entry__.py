@@ -27,8 +27,8 @@ from osm_sidewalkreator_spark.artifacts import ensure_features
 from osm_sidewalkreator_spark.functions.geo import (
     st_endpoints, st_length, st_transform_tm)
 from osm_sidewalkreator_spark.operators import (
-    graph as GR, joins as J, multimodal as MM, simsearch as SS,
-    textops as TX)
+    graph as GR, joins as J, multimodal as MM, ranking as RK,
+    sampling as SA, simsearch as SS, textops as TX)
 from osm_sidewalkreator_spark.pages import (
     ensure_pages_geo, geocode_pages, load_pages)
 from osm_sidewalkreator_spark.plans import pipeline as PL
@@ -1317,6 +1317,42 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("is_keeper").cast("int").alias("keeper"))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted corpus mix (operators/sampling.py): keep
+    decision = portable md5 unit-hash < per-lang fraction — the
+    training-data re-weighting primitive, shuffle-free by design. The
+    oracle recomputes the identical hash ('0x'||substr(md5(...),1,12)
+    parsed as UBIGINT) and CASE thresholds."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SA.weighted_sample(
+        docs, {"en": 0.8, "zh": 0.3, "de": 0.6}, default_fraction=0.05)
+    return out.select("doc_id", "lang")
+
+
+def q_ivf_cells(spark, sf_dir):
+    """IVF coarse-quantizer cell assignment (operators/simsearch.py):
+    every vector mapped to its max-cosine centroid out of the 8
+    lowest-vec_id embeddings (the deterministic model both engines can
+    rebuild). Integer output — bit-exact left-fold dot products make
+    the argmax engine-independent."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    return SS.assign_cells(emb, cents)
+
+
+def q_bm25_rank(spark, sf_dir):
+    """Okapi BM25 relevance over the documents table
+    (operators/ranking.py): one map-side-combined stats row, then a
+    narrow shuffle-free scoring projection. Oracle recomputes
+    N/avgdl/df itself from the same table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return RK.bm25_scores(docs, _BM25_TERMS)
+
+
+_BM25_TERMS = ["hash", "vector", "slow"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on registration: the driver records at most ~50 entries per
     # round (r2 recorded 50/52, r3 recorded 50/59 — always the dict
@@ -1332,9 +1368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_protoblocks / q_sidewalk_rings / q_crossings / q_kerbs
     # (rows-only pipeline stages, each pinned by an exact geometry
     # oracle: q_polygonize_lattice / q_ring_bbox /
-    # q_crossing_geometry+q_crossing_enlarge / q_golden_kerb_anchor),
-    # q_golden_protoblock_faces (rows-only by design; the 29-face
-    # recovery + area parity stay asserted in
+    # q_crossing_geometry+q_crossing_enlarge / the kerb-anchor
+    # contract), q_golden_protoblock_faces (rows-only by design; the
+    # 29-face recovery + area parity stay asserted in
     # tests/test_retired_queries.py and tests/test_golden_fixtures.py),
     # q_html_bytes (round 5 — its invariant is subsumed by
     # q_media_features + q_text_invariant; byte-path parity kept in
@@ -1344,6 +1380,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixture comparison stays in tests). Their slots now carry
     # q_voronoi_split (the last §2.7 op that was pytest-only) and
     # q_curate_chain (the end-to-end curation composition).
+    # Round-5 swaps widening LLM-pipeline coverage: retired
+    # q_golden_kerb_anchor (full DuckDB parity kept in
+    # tests/test_retired_queries.py via _golden_kerb_anchor_sql; G18
+    # stays exact-gated by q_crossing_geometry + q_crossing_enlarge),
+    # q_dedup_canonical (full parity kept via _dedup_canonical_sql;
+    # A9 stays gated by q_dedup_geometries) and q_overlay_concave
+    # (full parity kept via _overlay_concave_sql; J2/J3 stay gated by
+    # q_overlay_intersection/_poly_poly/_difference) — their slots
+    # carry q_weighted_sample (deterministic corpus mixing),
+    # q_ivf_cells (ANN coarse-quantizer assignment) and q_bm25_rank
+    # (full-text relevance ranking).
     return {
         "q_sessionize": q_sessionize,
         "q_stream_dedup": q_stream_dedup,
@@ -1373,7 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_lineitem_pricing": q_lineitem_pricing,
         "q_golden_counts": q_golden_counts,
-        "q_golden_kerb_anchor": q_golden_kerb_anchor,
+        "q_weighted_sample": q_weighted_sample,
         "q_curate_chain": q_curate_chain,
         "q_protoblock_sidewalk_filter": q_protoblock_sidewalk_filter,
         "q_extract_by_location": q_extract_by_location,
@@ -1383,8 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlay_intersection": q_overlay_intersection,
         "q_overlay_difference": q_overlay_difference,
         "q_incidence_ids": q_incidence_ids,
-        "q_overlay_concave": q_overlay_concave,
-        "q_dedup_canonical": q_dedup_canonical,
+        "q_ivf_cells": q_ivf_cells,
+        "q_bm25_rank": q_bm25_rank,
         "q_major_width_diff": q_major_width_diff,
         "q_interpolate": q_interpolate,
         "q_junction_angles": q_junction_angles,
@@ -2424,72 +2471,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(2 * off * 1000) AS BIGINT) AS len_mm
             FROM g
         """,
-        "q_dedup_canonical": f"""
-            WITH s AS (SELECT osm_id, x1, y1, x2, y2 FROM {streets}
-                       WHERE n_vertices = 2),
-                 r AS (SELECT 'rev_' || osm_id AS osm_id,
-                              x2 AS x1, y2 AS y1, x1 AS x2, y1 AS y2
-                       FROM s
-                       WHERE CAST(substr(osm_id, 2) AS BIGINT) % 5 = 0),
-                 u AS (SELECT * FROM s UNION ALL SELECT * FROM r),
-                 k AS (SELECT osm_id,
-                         CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2)
-                              THEN [x1, y1, x2, y2]
-                              ELSE [x2, y2, x1, y1] END AS key
-                       FROM u)
-            SELECT min(osm_id) AS osm_id FROM k GROUP BY key
+        "q_weighted_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5('mix-v1:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 12) AS UBIGINT)
+                  / CAST(16 ** 12 AS DOUBLE)
+                < CASE lang WHEN 'en' THEN 0.8 WHEN 'zh' THEN 0.3
+                       WHEN 'de' THEN 0.6 ELSE 0.05 END
         """,
-        "q_overlay_concave": f"""
-            WITH r AS (SELECT * FROM (VALUES
-                   (-380.137, -380.261,
-                    -380.137 + 600.0, -380.261 + 190.0),
-                   (-380.137, -380.261,
-                    -380.137 + 190.0, -380.261 + 500.0))
-                   AS v(xmin, ymin, xmax, ymax)),
-                 s AS (SELECT osm_id, x1 AS ax, y1 AS ay, x2 AS bx,
-                              y2 AS by
-                       FROM {streets} WHERE n_vertices = 2),
-                 j AS (SELECT s.*, r.* FROM s CROSS JOIN r),
-                 t AS (SELECT *, {_LB_T0} AS t0, {_LB_T1} AS t1,
-                              {_LB_OUT} AS outside
-                       FROM j),
-                 c AS (SELECT osm_id, ax, ay, bx, by, t0, t1
-                       FROM t WHERE NOT outside AND t0 < t1),
-                 g AS (SELECT *, CASE WHEN t0 > coalesce(
-                         max(t1) OVER (PARTITION BY osm_id
-                           ORDER BY t0, t1
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND 1 PRECEDING), -1.0)
-                         THEN 1 ELSE 0 END AS new_isl
-                       FROM c),
-                 i AS (SELECT *, sum(new_isl) OVER (PARTITION BY osm_id
-                         ORDER BY t0, t1
-                         ROWS UNBOUNDED PRECEDING) AS isl
-                       FROM g),
-                 m AS (SELECT osm_id, isl, any_value(ax) AS ax,
-                              any_value(ay) AS ay, any_value(bx) AS bx,
-                              any_value(by) AS by,
-                              min(t0) AS mt0, max(t1) AS mt1
-                       FROM i GROUP BY osm_id, isl),
-                 gaps AS (
-                   SELECT osm_id, ax, ay, bx, by,
-                          coalesce(lag(mt1) OVER (PARTITION BY osm_id
-                            ORDER BY mt0), 0.0) AS t0,
-                          mt0 AS t1
-                   FROM m
-                   UNION ALL
-                   SELECT osm_id, any_value(ax), any_value(ay),
-                          any_value(bx), any_value(by),
-                          max(mt1) AS t0, 1.0 AS t1
-                   FROM m GROUP BY osm_id
-                   UNION ALL
-                   SELECT osm_id, x1, y1, x2, y2, 0.0, 1.0
-                   FROM {streets} st
-                   WHERE n_vertices = 2 AND NOT EXISTS
-                     (SELECT 1 FROM c WHERE c.osm_id = st.osm_id))
-            SELECT osm_id, {_LB_PIECE_MM}
-            FROM gaps WHERE t0 < t1
+        "q_ivf_cells": """
+            WITH c AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+            v AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_dot_product(
+                         CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])))) AS vn
+              FROM embeddings),
+            s AS (SELECT vec_id, cid, list_dot_product(vn, cv) AS sim
+                  FROM v CROSS JOIN c)
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cid) AS rn
+              FROM s) WHERE rn = 1
         """,
+        "q_bm25_rank": RK.bm25_oracle_sql(_BM25_TERMS),
         "q_incidence_ids": f"""
             WITH s AS (SELECT * FROM
                        read_parquet('{SP}/esw_segments.parquet/*.parquet')),
@@ -2583,7 +2594,6 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "q_golden_counts": _golden_counts_sql(),
-        "q_golden_kerb_anchor": _golden_kerb_anchor_sql(),
         "q_curate_chain": f"""
             WITH RECURSIVE
             q0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
@@ -2671,6 +2681,83 @@ def _golden_counts_sql() -> str:
                   FROM read_json('{G.golden_path(layer)}'))
             GROUP BY 1, 2"""
         for layer in G.SMOKE_LAYERS)
+
+
+def _dedup_canonical_sql(streets: str) -> str:
+    """Retired q_dedup_canonical oracle — full DuckDB parity lives in
+    tests/test_retired_queries.py; ``streets`` is a read_parquet()
+    expression for the synth streets table."""
+    return f"""
+        WITH s AS (SELECT osm_id, x1, y1, x2, y2 FROM {streets}
+                   WHERE n_vertices = 2),
+             r AS (SELECT 'rev_' || osm_id AS osm_id,
+                          x2 AS x1, y2 AS y1, x1 AS x2, y1 AS y2
+                   FROM s
+                   WHERE CAST(substr(osm_id, 2) AS BIGINT) % 5 = 0),
+             u AS (SELECT * FROM s UNION ALL SELECT * FROM r),
+             k AS (SELECT osm_id,
+                     CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2)
+                          THEN [x1, y1, x2, y2]
+                          ELSE [x2, y2, x1, y1] END AS key
+                   FROM u)
+        SELECT min(osm_id) AS osm_id FROM k GROUP BY key
+    """
+
+
+def _overlay_concave_sql(streets: str) -> str:
+    """Retired q_overlay_concave oracle (L-shape = union of its two
+    rectangles) — full parity lives in tests/test_retired_queries.py."""
+    return f"""
+        WITH r AS (SELECT * FROM (VALUES
+               (-380.137, -380.261,
+                -380.137 + 600.0, -380.261 + 190.0),
+               (-380.137, -380.261,
+                -380.137 + 190.0, -380.261 + 500.0))
+               AS v(xmin, ymin, xmax, ymax)),
+             s AS (SELECT osm_id, x1 AS ax, y1 AS ay, x2 AS bx,
+                          y2 AS by
+                   FROM {streets} WHERE n_vertices = 2),
+             j AS (SELECT s.*, r.* FROM s CROSS JOIN r),
+             t AS (SELECT *, {_LB_T0} AS t0, {_LB_T1} AS t1,
+                          {_LB_OUT} AS outside
+                   FROM j),
+             c AS (SELECT osm_id, ax, ay, bx, by, t0, t1
+                   FROM t WHERE NOT outside AND t0 < t1),
+             g AS (SELECT *, CASE WHEN t0 > coalesce(
+                     max(t1) OVER (PARTITION BY osm_id
+                       ORDER BY t0, t1
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), -1.0)
+                     THEN 1 ELSE 0 END AS new_isl
+                   FROM c),
+             i AS (SELECT *, sum(new_isl) OVER (PARTITION BY osm_id
+                     ORDER BY t0, t1
+                     ROWS UNBOUNDED PRECEDING) AS isl
+                   FROM g),
+             m AS (SELECT osm_id, isl, any_value(ax) AS ax,
+                          any_value(ay) AS ay, any_value(bx) AS bx,
+                          any_value(by) AS by,
+                          min(t0) AS mt0, max(t1) AS mt1
+                   FROM i GROUP BY osm_id, isl),
+             gaps AS (
+               SELECT osm_id, ax, ay, bx, by,
+                      coalesce(lag(mt1) OVER (PARTITION BY osm_id
+                        ORDER BY mt0), 0.0) AS t0,
+                      mt0 AS t1
+               FROM m
+               UNION ALL
+               SELECT osm_id, any_value(ax), any_value(ay),
+                      any_value(bx), any_value(by),
+                      max(mt1) AS t0, 1.0 AS t1
+               FROM m GROUP BY osm_id
+               UNION ALL
+               SELECT osm_id, x1, y1, x2, y2, 0.0, 1.0
+               FROM {streets} st
+               WHERE n_vertices = 2 AND NOT EXISTS
+                 (SELECT 1 FROM c WHERE c.osm_id = st.osm_id))
+        SELECT osm_id, {_LB_PIECE_MM}
+        FROM gaps WHERE t0 < t1
+    """
 
 
 def _golden_kerb_anchor_sql() -> str:

@@ -94,3 +94,50 @@ def test_golden_crossing_length_attr_parity(spark):
     assert len(rows) > 0
     assert all(abs(r.tm_ratio - 1.0) <= 0.01 for r in rows)
     assert all(r.attr_mm > 0 for r in rows)
+
+
+def _duck_df(sql):
+    import duckdb
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+_STREETS_0001 = "read_parquet('/root/repo/data/synth/sf0.001/streets.parquet')"
+
+
+def test_dedup_canonical_full_oracle_parity(spark):
+    # retired round 5 (slot given to q_weighted_sample): A9 stays
+    # exact-gated by q_dedup_geometries; the orientation-insensitive
+    # canonical variant keeps its FULL DuckDB parity here
+    got = sorted(r.osm_id for r in E.q_dedup_canonical(spark, SF).collect())
+    want = _duck_df(E._dedup_canonical_sql(_STREETS_0001))
+    assert got == sorted(want.osm_id.tolist())
+    assert len(got) > 0
+
+
+def test_overlay_concave_full_oracle_parity(spark):
+    # retired round 5 (slot given to q_ivf_cells): J2/J3 stay gated by
+    # q_overlay_intersection/_poly_poly/_difference; the concave
+    # even-odd kernel keeps its FULL DuckDB parity here (L-shape =
+    # union of its two rectangles)
+    got = {tuple(r) for r in E.q_overlay_concave(spark, SF).collect()}
+    want = _duck_df(E._overlay_concave_sql(_STREETS_0001))
+    assert got == {tuple(r) for r in want.itertuples(index=False)}
+    assert len(got) > 0
+
+
+def test_golden_kerb_anchor_full_oracle_parity(spark):
+    # retired round 5 (slot given to q_bm25_rank): G18 stays exact-gated
+    # by q_crossing_geometry + q_crossing_enlarge; the golden kerb
+    # anchoring contract keeps its FULL DuckDB parity here
+    got = (E.q_golden_kerb_anchor(spark, SF).toPandas()
+           .sort_values("kerb_id").reset_index(drop=True))
+    want = (_duck_df(E._golden_kerb_anchor_sql())
+            .sort_values("kerb_id").reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    for col in ("kerb_id", "crossing_id", "n_vertices", "anchored"):
+        assert got[col].tolist() == want[col].tolist(), col
+    assert got["anchored"].all()
