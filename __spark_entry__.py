@@ -27,7 +27,7 @@ from osm_sidewalkreator_spark.artifacts import ensure_features
 from osm_sidewalkreator_spark.functions.geo import (
     st_endpoints, st_length, st_transform_tm)
 from osm_sidewalkreator_spark.operators import (
-    graph as GR, joins as J, multimodal as MM, ranking as RK,
+    graph as GR, joins as J, lm as LM, multimodal as MM, ranking as RK,
     sampling as SA, simsearch as SS, textops as TX)
 from osm_sidewalkreator_spark.pages import (
     ensure_pages_geo, geocode_pages, load_pages)
@@ -1353,6 +1353,17 @@ def q_bm25_rank(spark, sf_dir):
 _BM25_TERMS = ["hash", "vector", "slow"]
 
 
+def q_lm_nll(spark, sf_dir):
+    """Self-trained bigram-LM negative log-likelihood per document
+    (operators/lm.py) — the CCNet-style perplexity-filter primitive.
+    Counts train in one map-side-combined aggregate; scoring joins the
+    bigram stream to the one-row-per-bigram count table; each doc's
+    ln-terms fold in position order so both engines sum with identical
+    association."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return LM.bigram_nll(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on registration: the driver records at most ~50 entries per
     # round (r2 recorded 50/52, r3 recorded 50/59 — always the dict
@@ -1390,7 +1401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_overlay_intersection/_poly_poly/_difference) — their slots
     # carry q_weighted_sample (deterministic corpus mixing),
     # q_ivf_cells (ANN coarse-quantizer assignment) and q_bm25_rank
-    # (full-text relevance ranking).
+    # (full-text relevance ranking). Also retired q_pages_per_block
+    # (its join IS q_pip_pages_blocks' join; the trailing GROUP BY
+    # count keeps full parity via _pages_per_block_sql in
+    # tests/test_retired_queries.py; J8/A5 stay exact-gated by
+    # q_incidence_ids + q_protoblock_sidewalk_filter) — its slot
+    # carries q_lm_nll (bigram-LM perplexity filtering).
     return {
         "q_sessionize": q_sessionize,
         "q_stream_dedup": q_stream_dedup,
@@ -1400,7 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clip_aoi": q_clip_aoi,
         "q_endpoint_degree": q_endpoint_degree,
         "q_pip_pages_blocks": q_pip_pages_blocks,
-        "q_pages_per_block": q_pages_per_block,
+        "q_lm_nll": q_lm_nll,
         "q_knn_pages_sidewalks": q_knn_pages_sidewalks,
         "q_dem_kerb_slope": q_dem_kerb_slope,
         "q_dedup_geometries": q_dedup_geometries,
@@ -1732,13 +1748,7 @@ def oracle_sql() -> dict[str, str]:
               ON p.x >= b.xmin AND p.x < b.xmax
              AND p.y >= b.ymin AND p.y < b.ymax
         """,
-        "q_pages_per_block": f"""
-            SELECT b.block_id, count(*) AS n_pages
-            FROM {pages_geo} p JOIN {blocks} b
-              ON p.x >= b.xmin AND p.x < b.xmax
-             AND p.y >= b.ymin AND p.y < b.ymax
-            GROUP BY b.block_id
-        """,
+        "q_lm_nll": LM.bigram_nll_oracle_sql(),
         "q_knn_pages_sidewalks": f"""
             WITH p AS (SELECT url, x, y FROM {pages_geo}
                        WHERE url LIKE '%00'),
@@ -2681,6 +2691,19 @@ def _golden_counts_sql() -> str:
                   FROM read_json('{G.golden_path(layer)}'))
             GROUP BY 1, 2"""
         for layer in G.SMOKE_LAYERS)
+
+
+def _pages_per_block_sql(pages_geo: str, blocks: str) -> str:
+    """Retired q_pages_per_block oracle — full DuckDB parity lives in
+    tests/test_retired_queries.py (the underlying join is exactly
+    q_pip_pages_blocks' join, which stays in the gate)."""
+    return f"""
+        SELECT b.block_id, count(*) AS n_pages
+        FROM {pages_geo} p JOIN {blocks} b
+          ON p.x >= b.xmin AND p.x < b.xmax
+         AND p.y >= b.ymin AND p.y < b.ymax
+        GROUP BY b.block_id
+    """
 
 
 def _dedup_canonical_sql(streets: str) -> str:

@@ -1,0 +1,135 @@
+"""Bigram language-model training + per-document NLL scoring.
+
+The CCNet-style "perplexity filter" a training-data pipeline runs
+after dedup: fit an n-gram LM, score every document, drop the tail.
+Here the model is a Laplace-smoothed bigram LM trained on the corpus
+itself (deterministic — no external model file), and the score is the
+average negative log-likelihood per bigram (monotone in perplexity,
+without the extra exp() that would cost evaluator parity).
+
+    P(w2 | w1) = (c(w1 w2) + 1) / (c(w1·) + V)
+    nll(doc)   = round( -sum_pos ln P / n_bigrams , 6)
+
+Scale shape (the 100 TB contract):
+
+* TRAIN is one explode + one map-side-combined groupBy on the bigram
+  string; the context counts ``c(w1·)`` and vocabulary size ``V``
+  derive from that table with vocab-sized (not corpus-sized)
+  aggregates. Nothing corpus-sized is collected.
+* SCORE joins the corpus bigram stream to the count table on the
+  bigram key. The build side has ONE row per distinct bigram, so a
+  hot key ("of the") only fans out its own probe rows — no skew
+  explosion — and AQE handles the residual imbalance. Context counts
+  attach the same way on ``w1``.
+* The per-doc reduction sorts each doc's ln-terms by token position
+  and folds them left-to-right (``array_sort`` + ``aggregate``), so
+  both engines sum in the IDENTICAL association order: every input to
+  ``ln`` is a ratio of exact integers, leaving at most 1-ulp library
+  disagreement, far below the 6-decimal rounding grain.
+
+Tokenization = split on single space, the same rule the exact-gated
+token_stats / quality_score / decontaminate operators use
+(``word_ngram_array`` is the shared bigram builder).
+
+Reference parity note: the reference plugin has no LM; this extends
+the engine's curation tier (SURVEY.md "training-data ops") alongside
+quality_score (heuristic) and repetition_stats (Gopher-style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_sidewalkreator_spark.operators.textops import word_ngram_array
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, bg) — every word bigram with its 0-based doc
+    position; docs with < 2 tokens vanish (no bigram to score)."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(word_ngram_array(F.col("text"), 2))
+         .alias("pos", "bg"))
+
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """The trained model: (bg, cb) — one row per distinct corpus
+    bigram. One shuffle, map-side combined."""
+    return _doc_bigrams(docs).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("cb"))
+
+
+def bigram_nll(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, nll) for every doc with >= 1 bigram.
+
+    Laplace-smoothed on the fly: unseen bigrams get cb=0 and unseen
+    contexts cu=0 (only possible when scoring held-out text), so the
+    probability degrades to 1/V instead of erroring.
+    """
+    bi = _doc_bigrams(docs).withColumn(
+        "w1", F.substring_index(F.col("bg"), " ", 1))
+    cb = bigram_counts(docs)
+    cu = cb.groupBy(F.substring_index(F.col("bg"), " ", 1).alias("w1")) \
+           .agg(F.sum("cb").alias("cu"))
+    v = cb.select(F.countDistinct(
+        F.substring_index(F.col("bg"), " ", -1))).collect()[0][0]
+    term = F.log((F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                 / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(float(v))))
+    scored = (bi.join(cb, "bg", "left")
+                .join(cu, "w1", "left")
+                .select("doc_id", "pos", term.alias("term")))
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.array_sort(F.collect_list(F.struct("pos", "term")))
+         .alias("terms"))
+    fold = F.aggregate(F.transform(F.col("terms"), lambda s: s["term"]),
+                       F.lit(0.0), lambda a, x: a + x)
+    return agg.select(
+        "doc_id", "n_bigrams",
+        (F.round(-fold / F.col("n_bigrams"), 6) + 0.0).alias("nll"))
+
+
+def perplexity_filter(docs: DataFrame, max_nll: float) -> DataFrame:
+    """Keep docs whose self-trained bigram NLL is <= max_nll (plus
+    docs too short to score — a length filter is a different op).
+    Pick thresholds OFF attainable values; nll is rounded to 6
+    decimals, so any grain-interior value is safe."""
+    keep = bigram_nll(docs).filter(F.col("nll") <= max_nll) \
+                           .select("doc_id")
+    short = docs.select("doc_id", F.size(F.split(F.col("text"), " "))
+                        .alias("_n")).filter(F.col("_n") < 2) \
+                .select("doc_id")
+    return docs.join(keep.union(short), "doc_id", "left_semi")
+
+
+def bigram_nll_oracle_sql(table: str = "documents") -> str:
+    """Self-contained DuckDB SQL computing identical (doc_id,
+    n_bigrams, nll) rows — recomputes counts, V and the position-
+    ordered left fold itself."""
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                   FROM {table}),
+        bi AS (SELECT doc_id, pos, tk[pos] || ' ' || tk[pos + 1] AS bg
+               FROM (SELECT doc_id, tk,
+                            unnest(range(1, len(tk))) AS pos
+                     FROM t WHERE len(tk) >= 2)),
+        cb AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+        cu AS (SELECT split_part(bg, ' ', 1) AS w1,
+                      CAST(sum(cb) AS BIGINT) AS cu
+               FROM cb GROUP BY w1),
+        vv AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v
+               FROM cb),
+        sc AS (SELECT bi.doc_id, bi.pos,
+                      ln((cb.cb + 1.0) / (cu.cu + vv.v)) AS term
+               FROM bi
+               JOIN cb USING (bg)
+               JOIN cu ON cu.w1 = split_part(bi.bg, ' ', 1), vv),
+        ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      list(term ORDER BY pos) AS terms
+               FROM sc GROUP BY doc_id)
+        SELECT doc_id, n_bigrams,
+               round(-list_reduce(terms, (a, x) -> a + x)
+                     / n_bigrams, 6) + 0.0 AS nll
+        FROM ag
+    """

@@ -129,6 +129,20 @@ def test_overlay_concave_full_oracle_parity(spark):
     assert len(got) > 0
 
 
+def test_pages_per_block_full_oracle_parity(spark):
+    # retired round 5 (slot given to q_lm_nll): the join is exactly
+    # q_pip_pages_blocks' gate-registered join; the trailing GROUP BY
+    # count keeps its FULL DuckDB parity here
+    got = {(r.block_id, r.n_pages)
+           for r in E.q_pages_per_block(spark, SF).collect()}
+    want = _duck_df(E._pages_per_block_sql(
+        "read_parquet('/root/repo/data/synth/sf0.001/pages_geo.parquet/*.parquet')",
+        "read_parquet('/root/repo/data/synth/sf0.001/blocks.parquet')"))
+    assert got == {(r.block_id, r.n_pages)
+                   for r in want.itertuples(index=False)}
+    assert len(got) > 0
+
+
 def test_golden_kerb_anchor_full_oracle_parity(spark):
     # retired round 5 (slot given to q_bm25_rank): G18 stays exact-gated
     # by q_crossing_geometry + q_crossing_enlarge; the golden kerb
