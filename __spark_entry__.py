@@ -1329,6 +1329,19 @@ def q_weighted_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based domain mixing (operators/sampling.py): keep
+    fractions DERIVED from corpus counts with the mT5/CC-100 rule
+    w_g = n_g^(1/T) / Z, p_g = min(1, target * w_g / n_g), rounded to
+    the 9-decimal grain so both engines' libm pow lands on the same
+    values; the keep decision is the shared md5 unit-hash filter. The
+    oracle recomputes counts, Z and fractions itself in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SA.temperature_sample(docs, temperature=3.0, target_rows=200,
+                                group_col="lang", seed="temp-v1")
+    return out.select("doc_id", "lang")
+
+
 def q_ivf_cells(spark, sf_dir):
     """IVF coarse-quantizer cell assignment (operators/simsearch.py):
     every vector mapped to its max-cosine centroid out of the 8
@@ -1406,14 +1419,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # count keeps full parity via _pages_per_block_sql in
     # tests/test_retired_queries.py; J8/A5 stay exact-gated by
     # q_incidence_ids + q_protoblock_sidewalk_filter) — its slot
-    # carries q_lm_nll (bigram-LM perplexity filtering).
+    # carries q_lm_nll (bigram-LM perplexity filtering). Also retired
+    # q_clip_aoi (its bbox membership predicate is one of
+    # q_extract_by_location's 8 pinned predicates and the true
+    # boundary cut stays gated via q_clip_aoi_geometry; full parity
+    # via _clip_aoi_sql in tests/test_retired_queries.py) — its slot
+    # carries q_temperature_mix (count-derived corpus re-weighting).
     return {
         "q_sessionize": q_sessionize,
         "q_stream_dedup": q_stream_dedup,
         "q_events_streaming": q_events_streaming,
         "q_assign_widths": q_assign_widths,
         "q_street_lengths": q_street_lengths,
-        "q_clip_aoi": q_clip_aoi,
+        "q_temperature_mix": q_temperature_mix,
         "q_endpoint_degree": q_endpoint_degree,
         "q_pip_pages_blocks": q_pip_pages_blocks,
         "q_lm_nll": q_lm_nll,
@@ -1725,12 +1743,18 @@ def oracle_sql() -> dict[str, str]:
             FROM {streets} WHERE n_vertices = 2
             GROUP BY highway
         """,
-        "q_clip_aoi": f"""
-            SELECT s.osm_id FROM {streets} s, {aoi} a
-            WHERE greatest(s.x1, s.x2) >= a.xmin
-              AND least(s.x1, s.x2) <= a.xmax
-              AND greatest(s.y1, s.y2) >= a.ymin
-              AND least(s.y1, s.y2) <= a.ymax
+        "q_temperature_mix": """
+            WITH c AS (SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n
+                       FROM documents GROUP BY lang),
+            z AS (SELECT sum(n ** (1.0/3.0)) AS z FROM c),
+            fr AS (SELECT g, round(least(1.0,
+                            200 * (n ** (1.0/3.0)) / z.z / n), 9) AS frac
+                   FROM c, z)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN fr ON fr.g = d.lang
+            WHERE CAST('0x' || substr(md5('temp-v1:' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 12) AS UBIGINT)
+                  / CAST(16 ** 12 AS DOUBLE) < fr.frac
         """,
         "q_endpoint_degree": f"""
             WITH eps AS (
@@ -2691,6 +2715,20 @@ def _golden_counts_sql() -> str:
                   FROM read_json('{G.golden_path(layer)}'))
             GROUP BY 1, 2"""
         for layer in G.SMOKE_LAYERS)
+
+
+def _clip_aoi_sql(streets: str, aoi: str) -> str:
+    """Retired q_clip_aoi oracle — full DuckDB parity lives in
+    tests/test_retired_queries.py (the bbox membership predicate is
+    also one of q_extract_by_location's 8 gate-pinned predicates, and
+    the true Liang-Barsky cut stays gated via q_clip_aoi_geometry)."""
+    return f"""
+        SELECT s.osm_id FROM {streets} s, {aoi} a
+        WHERE greatest(s.x1, s.x2) >= a.xmin
+          AND least(s.x1, s.x2) <= a.xmax
+          AND greatest(s.y1, s.y2) >= a.ymin
+          AND least(s.y1, s.y2) <= a.ymax
+    """
 
 
 def _pages_per_block_sql(pages_geo: str, blocks: str) -> str:

@@ -67,6 +67,54 @@ def weighted_sample(docs: DataFrame, fractions: dict[str, float],
     return docs.filter(_unit_hash(F.col(key_col), seed) < frac_expr)
 
 
+def temperature_fractions(docs: DataFrame, temperature: float,
+                          target_rows: int,
+                          group_col: str = "source") -> dict[str, float]:
+    """Derive per-group keep fractions from corpus counts with
+    temperature sampling (the mT5/CC-100 mixing rule):
+
+        w_g  =  n_g**alpha / sum_h n_h**alpha      (alpha = 1/T)
+        p_g  =  min(1, target_rows * w_g / n_g)
+
+    ``T > 1`` flattens the mixture toward uniform (up-samples rare
+    domains/languages); ``T = 1`` is proportional (p identical for all
+    groups); ``T -> 0`` degenerates to argmax. The count aggregate
+    map-side combines down to one row per group before its (tiny)
+    shuffle, so deriving the mixture from a 100 TB corpus moves
+    #groups rows to the driver, nothing more. Fractions are rounded
+    to 9 decimals so an independent engine recomputing them through a
+    different libm ``pow`` lands on the same grid (1-ulp pow noise is
+    ~1e-16 relative, far under the grain; the md5 unit-hash the keep
+    decision compares against is uniform, so a boundary collision at
+    the grain is ~5e-10 per row).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0: {temperature}")
+    if target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0: {target_rows}")
+    alpha = 1.0 / temperature
+    counts = {r["g"]: r["n"] for r in
+              docs.groupBy(F.col(group_col).alias("g"))
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    z = sum(n ** alpha for n in counts.values())
+    return {g: round(min(1.0, target_rows * (n ** alpha) / z / n), 9)
+            for g, n in counts.items()}
+
+
+def temperature_sample(docs: DataFrame, temperature: float,
+                       target_rows: int, group_col: str = "source",
+                       key_col: str = "doc_id",
+                       seed: str = "temp-v1") -> DataFrame:
+    """Temperature-mix the corpus: counts -> fractions -> the same
+    deterministic narrow-filter keep decision as ``weighted_sample``.
+    Two scans of the input (one collapsing aggregate for counts, one
+    filtered pass) — the count pass reads only ``group_col``."""
+    fr = temperature_fractions(docs, temperature, target_rows,
+                               group_col=group_col)
+    return weighted_sample(docs, fr, group_col=group_col,
+                           key_col=key_col, seed=seed)
+
+
 def shard_corpus(docs: DataFrame, n_shards: int,
                  key_col: str = "doc_id",
                  seed: str = "shard-v1") -> DataFrame:

@@ -155,3 +155,16 @@ def test_golden_kerb_anchor_full_oracle_parity(spark):
     for col in ("kerb_id", "crossing_id", "n_vertices", "anchored"):
         assert got[col].tolist() == want[col].tolist(), col
     assert got["anchored"].all()
+
+
+def test_clip_aoi_full_oracle_parity(spark):
+    # retired round 5 (slot given to q_temperature_mix): the bbox
+    # membership predicate is one of q_extract_by_location's 8 pinned
+    # predicates and the true boundary cut stays exact-gated via
+    # q_clip_aoi_geometry; the full membership oracle lives on here
+    got = {r.osm_id for r in E.q_clip_aoi(spark, SF).collect()}
+    want = _duck_df(E._clip_aoi_sql(
+        _STREETS_0001,
+        "read_parquet('/root/repo/data/synth/sf0.001/aoi.parquet')"))
+    assert got == set(want.osm_id.tolist())
+    assert len(got) > 0

@@ -115,3 +115,64 @@ def test_weighted_sample_rejects_bad_fractions(spark, docs):
         SA.weighted_sample(docs, {"en": 1.5})
     with pytest.raises(ValueError):
         SA.weighted_sample(docs, {"en": 0.5}, default_fraction=8.0)
+
+
+def test_temperature_fractions_semantics(spark):
+    # 3 domains, counts 1000 / 100 / 10; T=1 is proportional, large T
+    # flattens toward uniform (rare domains up-sampled)
+    rows = [(i, "x y", "big") for i in range(1000)] \
+        + [(1000 + i, "x y", "mid") for i in range(100)] \
+        + [(1100 + i, "x y", "rare") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    fr1 = SA.temperature_fractions(d, temperature=1.0, target_rows=111)
+    # proportional: every group keeps the same fraction target/total
+    assert len({round(v, 6) for v in fr1.values()}) == 1
+    assert abs(next(iter(fr1.values())) - 111 / 1110) < 1e-6
+    fr2 = SA.temperature_fractions(d, temperature=2.0, target_rows=111)
+    assert fr2["rare"] > fr2["mid"] > fr2["big"]
+    # fractions are probabilities
+    assert all(0.0 <= v <= 1.0 for v in fr2.values())
+    # extreme flattening caps rare domains at keep-everything
+    frX = SA.temperature_fractions(d, temperature=100.0, target_rows=900)
+    assert frX["rare"] == 1.0
+    with pytest.raises(ValueError):
+        SA.temperature_fractions(d, temperature=0.0, target_rows=10)
+    with pytest.raises(ValueError):
+        SA.temperature_fractions(d, temperature=2.0, target_rows=-1)
+
+
+def test_temperature_sample_matches_duckdb(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = (SA.temperature_sample(docs, temperature=3.0, target_rows=200,
+                                 seed="temp-v1")
+           .select("doc_id", "source").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(f"""
+        WITH c AS (SELECT source AS g, CAST(count(*) AS DOUBLE) AS n
+                   FROM documents GROUP BY source),
+        z AS (SELECT sum(n ** (1.0/3.0)) AS z FROM c),
+        fr AS (SELECT g, round(least(1.0,
+                        200 * (n ** (1.0/3.0)) / z.z / n), 9) AS frac
+               FROM c, z)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN fr ON fr.g = d.source
+        WHERE {_unit_sql('temp-v1')} < fr.frac
+        ORDER BY doc_id
+    """).df()
+    con.close()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.source.tolist() == want.source.tolist()
+    # lands near the target (binomial noise at n=500 corpus)
+    assert 0 < len(got) < 500
+
+
+def test_temperature_sample_hits_target(spark):
+    rows = [(i, "x", "a") for i in range(4000)] \
+        + [(4000 + i, "x", "b") for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = SA.temperature_sample(d, temperature=2.0, target_rows=2000)
+    n = kept.count()
+    assert abs(n - 2000) < 150  # ~3 sigma of binomial(5000, ~0.4)
