@@ -70,6 +70,11 @@ def main(argv=None):
                     help="write chunks into N hash-sharded files in "
                     "reproducible pseudo-random training order "
                     "instead of lang partitions")
+    ap.add_argument("--pack", type=int, default=None, metavar="SEQ_TOKENS",
+                    help="with --shards: next-fit pack chunks into "
+                    "training sequences of at most SEQ_TOKENS tokens "
+                    "(adds seq_id/seq_pos/oversize; reuses the shard "
+                    "partitioning, no extra exchange)")
     ap.add_argument("--jaccard", type=float, default=0.5)
     ap.add_argument("--chunk-tokens", type=int, default=128)
     ap.add_argument("--overlap", type=int, default=16)
@@ -123,10 +128,21 @@ def main(argv=None):
         chunks = weighted_sample(
             chunks, spec, group_col="lang", key_col="doc_id",
             default_fraction=default)
+    if args.pack and not args.shards:
+        raise SystemExit("--pack requires --shards (sequences are "
+                         "packed within shards)")
     if args.shards:
         from osm_sidewalkreator_spark.operators.sampling import (
             shard_corpus)
         sharded = shard_corpus(chunks, args.shards, key_col="doc_id")
+        if args.pack:
+            from osm_sidewalkreator_spark.operators.packing import (
+                pack_sequences)
+            # training order (shard_order) decides packing adjacency;
+            # (doc_id, chunk_idx) keeps a doc's chunks contiguous
+            sharded = pack_sequences(
+                sharded, args.pack, group_col="shard",
+                order_cols=("shard_order", "doc_id", "chunk_idx"))
         (sharded.write.mode("overwrite")
          .option("maxRecordsPerFile", args.max_records_per_file)
          .partitionBy("shard")
@@ -149,6 +165,13 @@ def main(argv=None):
         "chunks": chunk_stats["n"],
         "chunk_tokens_total": int(chunk_stats["tok"]),
     }
+    if args.pack:
+        seqs = (spark.read.parquet(str(out / "chunks"))
+                .agg(F.countDistinct("shard", "seq_id").alias("n"))
+                .first()["n"])
+        metrics["sequences"] = seqs
+        metrics["packing_efficiency"] = round(
+            int(chunk_stats["tok"]) / (seqs * args.pack), 4)
     labeled.unpersist()
     (out / "metrics.json").write_text(json.dumps(metrics, indent=2))
     print(json.dumps(metrics))
