@@ -538,3 +538,108 @@ def decontaminate(docs: DataFrame, eval_texts: DataFrame, n: int = 8,
             .withColumn("n_contaminated_ngrams",
                         F.coalesce(F.col("n_contaminated_ngrams"),
                                    F.lit(0).cast("long"))))
+
+
+def remove_repeated_spans(docs: DataFrame, span_tokens: int = 50,
+                          min_count: int = 2,
+                          max_positions_per_gram: int = 10000
+                          ) -> DataFrame:
+    """Cut every token span that repeats across the corpus — the
+    substring-level exact dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), which removes
+    boilerplate/licenses/templates that DOCUMENT-level dedup cannot
+    see (the docs differ, the paragraph repeats).
+
+    Algorithm (the suffix-array semantics, bucketed for Spark):
+
+    1. every ``span_tokens``-token window (stride 1) of every doc is a
+       row; windows whose gram occurs >= ``min_count`` times corpus-
+       wide are flagged,
+    2. a doc's flagged windows merge into maximal spans (gaps-and-
+       islands over start positions: windows overlapping or touching
+       chain together), so any repeated run of length >= span_tokens
+       is removed WHOLE, exactly as the rolling windows tile it,
+    3. the doc's tokens inside merged spans are dropped and the text
+       rebuilt; docs with no flagged window pass through untouched.
+
+    Returns (doc_id, text, n_tokens_removed, n_spans_removed) with
+    ``text`` rewritten.
+
+    Scale shape: the window explode is the algorithm's honest cost
+    (one row per token, same as the suffix-array construction's n
+    entries); the gram count is ONE map-side-combined groupBy on the
+    gram string, flagged positions are a tiny fraction of the corpus,
+    and the island merge + rebuild shuffle only FLAGGED docs' rows
+    (the untouched majority never leaves its scan partition — it
+    re-enters via a left join on the rewritten minority).
+    ``max_positions_per_gram`` caps a degenerate gram's fan-in (e.g.
+    the empty-ish token runs of machine text) the same way the LSH
+    hot-bucket guard does; capped grams keep their first N positions
+    per the count ordering, a documented under-removal.
+
+    Determinism: every decision is a pure function of the corpus
+    multiset (no hashing, no RNG) — the full pipeline is replayed
+    exactly by the DuckDB oracle in tests/test_repeated_spans.py.
+    """
+    if span_tokens < 2:
+        raise ValueError(f"span_tokens must be >= 2: {span_tokens}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2: {min_count}")
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_ngram_array(F.col("text"), span_tokens))
+         .alias("p", "gram"))
+    repeated = (grams.groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") >= min_count)
+                .select("gram"))
+    flagged = (grams.join(repeated, "gram")
+               .withColumn("_rn", F.row_number().over(
+                   Window.partitionBy("gram")
+                         .orderBy("doc_id", "p")))
+               .filter(F.col("_rn") <= max_positions_per_gram)
+               .select("doc_id", "p"))
+
+    # gaps-and-islands per doc: a window [p, p+W) extends the current
+    # span iff p <= prev_p + W (touching counts: the tokens abut)
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    spans = (flagged
+             .withColumn("_new", F.when(
+                 F.col("p") <= F.lag("p").over(wd) + span_tokens,
+                 F.lit(0)).otherwise(F.lit(1)))
+             .withColumn("_isl", F.sum("_new").over(
+                 wd.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("doc_id", "_isl")
+             .agg(F.min("p").alias("s"),
+                  (F.max("p") + span_tokens).alias("e")))
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"))
+
+    # rebuild only the flagged docs; everyone else passes through
+    toks = F.split(F.col("text"), " ")
+    idx = F.transform(toks, lambda t, i: F.struct(
+        t.alias("w"), i.alias("i")))
+    covered = lambda i: F.exists(          # noqa: E731
+        F.col("spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"]))
+    rewritten = (docs.join(doc_spans, "doc_id")
+                 .withColumn("_kept", F.filter(
+                     idx, lambda s: ~covered(s["i"])))
+                 .select(
+                     "doc_id",
+                     F.array_join(F.transform(
+                         F.col("_kept"), lambda s: s["w"]), " ")
+                      .alias("_text2"),
+                     (F.size(toks) - F.size(F.col("_kept")))
+                      .alias("_removed"),
+                     F.size("spans").alias("_nspans")))
+    out = (docs.join(rewritten, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.coalesce(F.col("_text2"), F.col("text")).alias("text"),
+               F.coalesce(F.col("_removed"), F.lit(0))
+                .cast("long").alias("n_tokens_removed"),
+               F.coalesce(F.col("_nspans"), F.lit(0))
+                .cast("int").alias("n_spans_removed")))
+    return out
