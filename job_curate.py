@@ -58,6 +58,15 @@ def main(argv=None):
     ap.add_argument("--scrub-pii", action="store_true",
                     help="rewrite text through the PII placeholder "
                     "chain before scoring (row-pure, zero shuffles)")
+    ap.add_argument("--strip-spans", type=int, default=None,
+                    metavar="TOKENS",
+                    help="cut token spans of this length that repeat "
+                    "across the corpus before scoring (substring-level "
+                    "exact dedup; adds the gram-count shuffle)")
+    ap.add_argument("--max-nll", type=float, default=None,
+                    help="drop docs whose self-trained bigram-LM "
+                    "negative log-likelihood exceeds this (CCNet-style "
+                    "perplexity tail cut)")
     ap.add_argument("--decontaminate", default=None, metavar="PARQUET",
                     help="path to an eval-corpus parquet with a text "
                     "column; docs sharing any 8-gram with it are "
@@ -97,6 +106,8 @@ def main(argv=None):
         max_dup_3gram=args.max_dup_3gram,
         max_boilerplate=args.max_boilerplate,
         scrub_pii=args.scrub_pii,
+        strip_spans_tokens=args.strip_spans,
+        max_nll=args.max_nll,
         decontaminate_against=evals,
         jaccard=args.jaccard, chunk_tokens=args.chunk_tokens,
         overlap=args.overlap)

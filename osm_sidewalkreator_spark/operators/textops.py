@@ -562,8 +562,9 @@ def remove_repeated_spans(docs: DataFrame, span_tokens: int = 50,
     3. the doc's tokens inside merged spans are dropped and the text
        rebuilt; docs with no flagged window pass through untouched.
 
-    Returns (doc_id, text, n_tokens_removed, n_spans_removed) with
-    ``text`` rewritten.
+    Returns the input columns (``text`` rewritten, other columns
+    carried through for chain composition) plus ``n_tokens_removed``
+    and ``n_spans_removed``.
 
     Scale shape: the window explode is the algorithm's honest cost
     (one row per token, same as the suffix-array construction's n
@@ -634,9 +635,10 @@ def remove_repeated_spans(docs: DataFrame, span_tokens: int = 50,
                      (F.size(toks) - F.size(F.col("_kept")))
                       .alias("_removed"),
                      F.size("spans").alias("_nspans")))
+    others = [c for c in docs.columns if c != "text"]
     out = (docs.join(rewritten, "doc_id", "left")
            .select(
-               "doc_id",
+               *others,
                F.coalesce(F.col("_text2"), F.col("text")).alias("text"),
                F.coalesce(F.col("_removed"), F.lit(0))
                 .cast("long").alias("n_tokens_removed"),

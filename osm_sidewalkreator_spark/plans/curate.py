@@ -43,6 +43,8 @@ def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
                     max_boilerplate: float | None = None,
                     boilerplate_df: int = 5,
                     scrub_pii: bool = False,
+                    strip_spans_tokens: int | None = None,
+                    max_nll: float | None = None,
                     decontaminate_against: DataFrame | None = None,
                     decontam_ngram: int = 8,
                     jaccard: float = 0.5, chunk_tokens: int = 128,
@@ -74,6 +76,14 @@ def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
     # columns Catalyst can compute inside the scan stage)
     if scrub_pii:
         docs = docs.withColumn("text", TX.pii_scrub_expr())
+    if strip_spans_tokens is not None:
+        # substring-level dedup BEFORE scoring: cutting the repeated
+        # boilerplate changes quality/lang/dedup inputs, which is the
+        # point. Adds the gram-count shuffle; only flagged docs'
+        # rebuild rows shuffle beyond it (operators/textops.py).
+        docs = TX.remove_repeated_spans(
+            docs, span_tokens=strip_spans_tokens) \
+            .drop("n_tokens_removed", "n_spans_removed")
     d = (docs.withColumn("quality", TX.quality_expr())
          .withColumn("lang_pred", TX.langid_expr())
          .filter(F.col("quality") >= F.lit(min_quality)))
@@ -92,6 +102,13 @@ def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
                    .filter(F.col("n_contaminated_ngrams") > 0)
                    .select("doc_id"))
         d = d.join(F.broadcast(flagged), "doc_id", "left_anti")
+    if max_nll is not None:
+        # CCNet-style perplexity tail cut: the bigram LM self-trains
+        # on the filter survivors (one count aggregate) and the keep
+        # set comes back as a semi-join. Pick thresholds OFF the
+        # 6-decimal nll grain (operators/lm.py).
+        from osm_sidewalkreator_spark.operators import lm as LM
+        d = LM.perplexity_filter(d, max_nll)
 
     # exact dedup: keep the lowest doc_id per identical text. The
     # window partitions by (hash, text) — the 8-byte hash does the
@@ -135,6 +152,8 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
                   max_boilerplate: float | None = None,
                   boilerplate_df: int = 5,
                   scrub_pii: bool = False,
+                  strip_spans_tokens: int | None = None,
+                  max_nll: float | None = None,
                   decontaminate_against: DataFrame | None = None,
                   decontam_ngram: int = 8,
                   jaccard: float = 0.5, chunk_tokens: int = 128,
@@ -153,6 +172,7 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
         docs, min_quality=min_quality, langs=langs,
         max_dup_3gram=max_dup_3gram, max_boilerplate=max_boilerplate,
         boilerplate_df=boilerplate_df, scrub_pii=scrub_pii,
+        strip_spans_tokens=strip_spans_tokens, max_nll=max_nll,
         decontaminate_against=decontaminate_against,
         decontam_ngram=decontam_ngram, jaccard=jaccard,
         chunk_tokens=chunk_tokens, overlap=overlap)["chunks"]

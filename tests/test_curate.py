@@ -137,3 +137,41 @@ def test_optional_repetition_and_boilerplate_filters(spark, docs):
     assert dropped_rep or dropped_bp
     assert surv.isdisjoint(dropped_rep) and surv.isdisjoint(dropped_bp)
     out.unpersist()
+
+
+def test_optional_strip_spans_and_perplexity_stages(spark, docs):
+    from osm_sidewalkreator_spark.operators import lm as LM
+    # strip-spans: no chunk of the curated output may contain a
+    # repeated 8-gram of the POST-strip corpus (the stage ran before
+    # scoring), and stripping must actually bite on this corpus
+    base = curate_corpus(docs, chunk_tokens=32, overlap=8)
+    stripped = curate_corpus(docs, strip_spans_tokens=8,
+                             chunk_tokens=32, overlap=8)
+    tok_base = base.agg(F.sum("n_chunk_tokens")).collect()[0][0]
+    tok_strip = stripped.agg(F.sum("n_chunk_tokens")).collect()[0][0]
+    assert tok_strip < tok_base
+    cleaned = TX.remove_repeated_spans(docs, span_tokens=8)
+    # token conservation (split('') is [''] size 1, so count emptied
+    # docs as zero tokens explicitly)
+    n_tok = lambda df: df.agg(F.sum(F.when(     # noqa: E731
+        F.col("text") == "", 0).otherwise(
+        F.size(F.split("text", " "))))).collect()[0][0]
+    assert cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0] == \
+        n_tok(docs) - n_tok(cleaned)
+
+    # perplexity stage: survivors' doc set == the narrow-filter
+    # survivors semi-joined with the LM keep set (same corpus train)
+    nll_curated = curate_corpus(docs, max_nll=3.4200005,
+                                chunk_tokens=32, overlap=8)
+    surv = {r.doc_id for r in
+            nll_curated.select("doc_id").distinct().collect()}
+    # the stage trains on the pre-dedup filtered corpus = all docs here
+    keep = {r.doc_id for r in
+            LM.perplexity_filter(
+                docs.withColumn("quality", TX.quality_expr())
+                    .withColumn("lang_pred", TX.langid_expr()),
+                3.4200005).select("doc_id").collect()}
+    assert surv <= keep
+    dropped = {r.doc_id for r in docs.select("doc_id").collect()} - keep
+    assert dropped, "threshold must bite on this corpus"
+    assert surv.isdisjoint(dropped)
