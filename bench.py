@@ -178,6 +178,25 @@ def main():
     counters["int8_recall_at_5"] = round(
         SS.quantized_recall_at_k(emb, k=5), 4)
 
+    # round-5 additions (same rule: extras only, headline untouched)
+    from osm_sidewalkreator_spark.operators import lm as LM
+    from osm_sidewalkreator_spark.operators import packing as PK
+    from osm_sidewalkreator_spark.operators import sampling as SA
+    counters["lm_scored_docs"] = timed(
+        "lm_bigram_nll",
+        lambda: LM.bigram_nll(docs).count(), into=extra)
+    counters["packed_sequences"] = timed(
+        "pack_sequences",
+        lambda: (PK.pack_sequences(
+            TX.chunk_documents(SA.shard_corpus(docs, 8),
+                               extra_cols=("shard",)), 512)
+            .select("shard", "seq_id").distinct().count()), into=extra)
+    counters["span_stripped_tokens"] = timed(
+        "remove_repeated_spans",
+        lambda: int(TX.remove_repeated_spans(docs, span_tokens=8)
+                    .agg(F.sum("n_tokens_removed")).first()[0]),
+        into=extra)
+
     host = mon.stop()
     if quiet_wait is not None:
         host["quiet_wait"] = quiet_wait
