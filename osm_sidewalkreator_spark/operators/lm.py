@@ -60,16 +60,22 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("cb"))
 
 
-def bigram_nll(docs: DataFrame) -> DataFrame:
+def bigram_nll(docs: DataFrame,
+               train: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_bigrams, nll) for every doc with >= 1 bigram.
 
-    Laplace-smoothed on the fly: unseen bigrams get cb=0 and unseen
-    contexts cu=0 (only possible when scoring held-out text), so the
-    probability degrades to 1/V instead of erroring.
+    ``train`` is the corpus the model fits on; None means self-trained
+    (score the corpus under its own statistics). Passing a curated
+    reference corpus is the actual CCNet setup — fit on Wikipedia,
+    score the crawl, drop the worst tail — and is where the Laplace
+    smoothing earns its keep: bigrams/contexts unseen in ``train`` get
+    cb=0 / cu=0 and the probability degrades to ~1/V instead of
+    erroring. Same scale shape either way: counts collapse map-side,
+    scoring joins the bigram stream against one-row-per-bigram tables.
     """
     bi = _doc_bigrams(docs).withColumn(
         "w1", F.substring_index(F.col("bg"), " ", 1))
-    cb = bigram_counts(docs)
+    cb = bigram_counts(docs if train is None else train)
     cu = cb.groupBy(F.substring_index(F.col("bg"), " ", 1).alias("w1")) \
            .agg(F.sum("cb").alias("cu"))
     v = cb.select(F.countDistinct(
@@ -90,41 +96,53 @@ def bigram_nll(docs: DataFrame) -> DataFrame:
         (F.round(-fold / F.col("n_bigrams"), 6) + 0.0).alias("nll"))
 
 
-def perplexity_filter(docs: DataFrame, max_nll: float) -> DataFrame:
-    """Keep docs whose self-trained bigram NLL is <= max_nll (plus
-    docs too short to score — a length filter is a different op).
-    Pick thresholds OFF attainable values; nll is rounded to 6
-    decimals, so any grain-interior value is safe."""
-    keep = bigram_nll(docs).filter(F.col("nll") <= max_nll) \
-                           .select("doc_id")
+def perplexity_filter(docs: DataFrame, max_nll: float,
+                      train: DataFrame | None = None) -> DataFrame:
+    """Keep docs whose bigram NLL is <= max_nll (plus docs too short
+    to score — a length filter is a different op). ``train`` selects
+    the fitting corpus (None = self-trained). Pick thresholds OFF
+    attainable values; nll is rounded to 6 decimals, so any
+    grain-interior value is safe."""
+    keep = bigram_nll(docs, train=train).filter(F.col("nll") <= max_nll) \
+                                        .select("doc_id")
     short = docs.select("doc_id", F.size(F.split(F.col("text"), " "))
                         .alias("_n")).filter(F.col("_n") < 2) \
                 .select("doc_id")
     return docs.join(keep.union(short), "doc_id", "left_semi")
 
 
-def bigram_nll_oracle_sql(table: str = "documents") -> str:
+def bigram_nll_oracle_sql(table: str = "documents",
+                          train_table: str | None = None) -> str:
     """Self-contained DuckDB SQL computing identical (doc_id,
     n_bigrams, nll) rows — recomputes counts, V and the position-
-    ordered left fold itself."""
+    ordered left fold itself. ``train_table`` fits the counts on a
+    different corpus (LEFT joins + coalesce replay the Laplace
+    unseen-gram degradation exactly)."""
+    tr = train_table or table
     return f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
                    FROM {table}),
+        trt AS (SELECT doc_id, string_split(text, ' ') AS tk
+                FROM {tr}),
         bi AS (SELECT doc_id, pos, tk[pos] || ' ' || tk[pos + 1] AS bg
                FROM (SELECT doc_id, tk,
                             unnest(range(1, len(tk))) AS pos
                      FROM t WHERE len(tk) >= 2)),
-        cb AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+        tbi AS (SELECT tk[pos] || ' ' || tk[pos + 1] AS bg
+                FROM (SELECT tk, unnest(range(1, len(tk))) AS pos
+                      FROM trt WHERE len(tk) >= 2)),
+        cb AS (SELECT bg, count(*) AS cb FROM tbi GROUP BY bg),
         cu AS (SELECT split_part(bg, ' ', 1) AS w1,
                       CAST(sum(cb) AS BIGINT) AS cu
                FROM cb GROUP BY w1),
         vv AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v
                FROM cb),
         sc AS (SELECT bi.doc_id, bi.pos,
-                      ln((cb.cb + 1.0) / (cu.cu + vv.v)) AS term
+                      ln((coalesce(cb.cb, 0) + 1.0)
+                         / (coalesce(cu.cu, 0) + vv.v)) AS term
                FROM bi
-               JOIN cb USING (bg)
-               JOIN cu ON cu.w1 = split_part(bi.bg, ' ', 1), vv),
+               LEFT JOIN cb USING (bg)
+               LEFT JOIN cu ON cu.w1 = split_part(bi.bg, ' ', 1), vv),
         ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                       list(term ORDER BY pos) AS terms
                FROM sc GROUP BY doc_id)

@@ -645,3 +645,33 @@ def remove_repeated_spans(docs: DataFrame, span_tokens: int = 50,
                F.coalesce(F.col("_nspans"), F.lit(0))
                 .cast("int").alias("n_spans_removed")))
     return out
+
+
+def content_digests(docs: DataFrame) -> DataFrame:
+    """One 16-byte content digest row per distinct text —
+    ``dedup_against``'s historical-store format (md5: the same
+    128-bit collision argument as ``exact_dedup``)."""
+    return docs.select(F.unhex(F.md5("text")).alias("h")).distinct()
+
+
+def dedup_against(docs: DataFrame, seen: DataFrame) -> DataFrame:
+    """Incremental exact dedup: drop docs whose text was already
+    ingested (``seen`` = ``content_digests`` of the historical
+    corpus), then exact-dedup within the batch (keep min doc_id).
+
+    The production loop for a daily crawl: yesterday's store is keyed
+    by digest only — the historical TEXT never re-shuffles, which is
+    the entire point (the store is petabytes; the digest table is
+    16 bytes/doc). Both joins are on the fixed-width digest; AQE
+    broadcasts the store side automatically when a small backfill
+    batch meets it, and the batch's within-dedup window reuses the
+    same shuffle key.
+    """
+    d = docs.withColumn("_h", F.unhex(F.md5("text")))
+    fresh = d.join(seen.select(F.col("h").alias("_h")), "_h",
+                   "left_anti")
+    keep = (fresh.withColumn(
+        "_keep", F.min("doc_id").over(Window.partitionBy("_h")))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_h", "_keep"))
+    return keep

@@ -88,3 +88,37 @@ def test_training_aggregate_is_mapside_combined(spark, docs):
     plan = (lm.bigram_counts(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_external_train_corpus_matches_duckdb(spark, docs):
+    # the actual CCNet setup: fit on one corpus, score another; unseen
+    # bigrams/contexts must degrade to the Laplace 1/V floor, exactly
+    train = docs.filter("doc_id % 2 = 0")
+    score = docs.filter("doc_id % 2 = 1")
+    got = (lm.bigram_nll(score, train=train).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW score_t AS SELECT * FROM "
+                f"'{SF}/documents.parquet' WHERE doc_id % 2 = 1")
+    con.execute(f"CREATE VIEW train_t AS SELECT * FROM "
+                f"'{SF}/documents.parquet' WHERE doc_id % 2 = 0")
+    want = con.execute(
+        lm.bigram_nll_oracle_sql("score_t", train_table="train_t")
+        + " ORDER BY doc_id").df()
+    con.close()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert (got.nll.to_numpy() == want.nll.to_numpy()).all()
+    assert len(got) > 0
+
+
+def test_unseen_bigrams_hit_laplace_floor(spark):
+    import math
+    train = spark.createDataFrame(
+        [(0, "a b a b")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(1, "zz qq")], "doc_id long, text string")
+    out = lm.bigram_nll(score, train=train).collect()[0]
+    # train: bigrams {a b:2, b a:1}, contexts {a:2, b:1}, V=|{b,a}|=2;
+    # "zz qq" unseen: P = (0+1)/(0+2) = 1/2
+    assert out.n_bigrams == 1
+    assert abs(out.nll - round(-math.log(0.5), 6)) < 1e-9
