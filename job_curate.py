@@ -55,6 +55,9 @@ def main(argv=None):
     ap.add_argument("--max-boilerplate", type=float, default=None,
                     help="drop docs whose corpus-common-shingle ratio "
                     "exceeds this (adds the DF-index shuffles)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="collapse whitespace / strip control chars "
+                    "before any scoring (row-pure, zero shuffles)")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="rewrite text through the PII placeholder "
                     "chain before scoring (row-pure, zero shuffles)")
@@ -101,6 +104,7 @@ def main(argv=None):
              if args.decontaminate else None)
     stages = curation_stages(
         docs,
+        normalize=args.normalize,
         min_quality=args.min_quality,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         max_dup_3gram=args.max_dup_3gram,

@@ -675,3 +675,29 @@ def dedup_against(docs: DataFrame, seen: DataFrame) -> DataFrame:
         .filter(F.col("doc_id") == F.col("_keep"))
         .drop("_h", "_keep"))
     return keep
+
+
+def normalize_text_expr(col="text"):
+    """Standard pre-tokenization cleanup as a row-pure Column (zero
+    shuffles, composes like ``pii_scrub_expr``):
+
+    1. control characters (C0 minus \\t\\n\\r, plus DEL) removed,
+    2. all whitespace runs (space/tab/newline/CR) collapsed to one
+       space,
+    3. leading/trailing space trimmed.
+
+    Java regex only — DuckDB's RE2 accepts the same patterns, so the
+    cleaner is exactly replayable (tests/test_repeated_spans.py).
+    Case folding and unicode NFC are deliberately NOT here: they lose
+    information the dedup/fingerprint family may key on — run them in
+    the tokenizer where the loss is scoped.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_ctl = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    one_ws = F.regexp_replace(no_ctl, "[ \\t\\n\\r]+", " ")
+    return F.trim(one_ws)
+
+
+def normalize_text(docs: DataFrame, col: str = "text") -> DataFrame:
+    """``normalize_text_expr`` applied in place (text rewritten)."""
+    return docs.withColumn(col, normalize_text_expr(col))

@@ -37,7 +37,8 @@ from osm_sidewalkreator_spark.operators import graph as GR
 from osm_sidewalkreator_spark.operators import textops as TX
 
 
-def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
+def curation_stages(docs: DataFrame, *, normalize: bool = False,
+                    min_quality: float = 0.0,
                     langs: tuple[str, ...] | None = None,
                     max_dup_3gram: float | None = None,
                     max_boilerplate: float | None = None,
@@ -74,6 +75,10 @@ def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
     # — attached with withColumn, NOT by joining the operator outputs
     # back on doc_id (which would re-scan the corpus and shuffle for
     # columns Catalyst can compute inside the scan stage)
+    if normalize:
+        # first: every downstream signal keys on the cleaned text
+        # (row-pure, zero shuffles)
+        docs = docs.withColumn("text", TX.normalize_text_expr())
     if scrub_pii:
         docs = docs.withColumn("text", TX.pii_scrub_expr())
     if strip_spans_tokens is not None:
@@ -146,7 +151,8 @@ def curation_stages(docs: DataFrame, *, min_quality: float = 0.0,
             "chunks": chunks}
 
 
-def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
+def curate_corpus(docs: DataFrame, *, normalize: bool = False,
+                  min_quality: float = 0.0,
                   langs: tuple[str, ...] | None = None,
                   max_dup_3gram: float | None = None,
                   max_boilerplate: float | None = None,
@@ -169,7 +175,8 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.0,
     highest-quality member (ties -> lowest doc_id).
     """
     return curation_stages(
-        docs, min_quality=min_quality, langs=langs,
+        docs, normalize=normalize,
+        min_quality=min_quality, langs=langs,
         max_dup_3gram=max_dup_3gram, max_boilerplate=max_boilerplate,
         boilerplate_df=boilerplate_df, scrub_pii=scrub_pii,
         strip_spans_tokens=strip_spans_tokens, max_nll=max_nll,

@@ -164,3 +164,30 @@ def test_incremental_dedup_against_matches_duckdb(spark):
     seen2 = TX.content_digests(hist.select("text").union(
         batch.select("text")))
     assert TX.dedup_against(batch, seen2).count() == 0
+
+
+def test_normalize_text_matches_duckdb(spark):
+    rows = [
+        (0, "  a\tb\nc\r\nd  "),
+        (1, "already clean"),
+        (2, "ctl\x00\x07chars\x1fgone\x7f!"),
+        (3, ""),
+        (4, "many     spaces\t\t\tand\n\n\nlines"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           TX.normalize_text(d).collect()}
+    con = duckdb.connect()
+    con.register("d", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]))
+    want = {r[0]: r[1] for r in con.execute(r"""
+        SELECT doc_id, trim(regexp_replace(
+            regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]',
+                           '', 'g'),
+            '[ \t\n\r]+', ' ', 'g')) FROM d
+    """).fetchall()}
+    con.close()
+    assert got == want
+    assert got[0] == "a b c d"
+    assert got[2] == "ctlcharsgone!"
+    assert got[3] == ""
