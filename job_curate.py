@@ -41,6 +41,25 @@ from osm_sidewalkreator_spark.session import get_spark
 from osm_sidewalkreator_spark.sources.catalog import load_table
 
 
+def _parse_spec(s: str, flag: str) -> dict[str, float]:
+    """Parse 'key=float,key=float' CLI specs with clear errors."""
+    spec: dict[str, float] = {}
+    for kv in s.split(","):
+        kv = kv.strip()
+        if not kv:
+            continue
+        key, sep, val = kv.partition("=")
+        if not sep or not key.strip():
+            raise SystemExit(f"{flag}: expected key=value, got {kv!r}")
+        try:
+            spec[key.strip()] = float(val)
+        except ValueError:
+            raise SystemExit(
+                f"{flag}: value for {key.strip()!r} is not a "
+                f"number: {val!r}") from None
+    return spec
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -74,6 +93,20 @@ def main(argv=None):
                     help="path to an eval-corpus parquet with a text "
                     "column; docs sharing any 8-gram with it are "
                     "dropped (eval grams broadcast)")
+    ap.add_argument("--block-domains", default=None, metavar="LIST",
+                    help="comma-separated domain blocklist; needs a "
+                    "url column on the input (broadcast anti-join)")
+    ap.add_argument("--max-per-domain", type=int, default=None,
+                    help="cap docs per domain; needs a url column. "
+                    "Default is the sampled (shuffle-free, skew-immune)"
+                    " cap; --domain-cap-exact opts into the window")
+    ap.add_argument("--domain-cap-exact", action="store_true",
+                    help="use the exact row_number per-domain cap "
+                    "(one exchange; skew-exposed on mega-domains)")
+    ap.add_argument("--split", default=None, metavar="SPEC",
+                    help="deterministic disjoint split labels keyed on "
+                    "doc_id (all chunks of a doc share a label), e.g. "
+                    "'train=0.99,val=0.005,test=0.005'")
     ap.add_argument("--sample", default=None, metavar="SPEC",
                     help="deterministic per-language keep fractions "
                     "applied to the chunk-ready docs, e.g. "
@@ -105,6 +138,10 @@ def main(argv=None):
     stages = curation_stages(
         docs,
         normalize=args.normalize,
+        block_domains=(args.block_domains.split(",")
+                       if args.block_domains else None),
+        max_per_domain=args.max_per_domain,
+        domain_cap_exact=args.domain_cap_exact,
         min_quality=args.min_quality,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         max_dup_3gram=args.max_dup_3gram,
@@ -124,25 +161,19 @@ def main(argv=None):
     if args.sample:
         from osm_sidewalkreator_spark.operators.sampling import (
             weighted_sample)
-        spec = {}
-        for kv in args.sample.split(","):
-            kv = kv.strip()
-            if not kv:
-                continue
-            key, sep, val = kv.partition("=")
-            if not sep or not key.strip():
-                raise SystemExit(
-                    f"--sample: expected lang=fraction, got {kv!r}")
-            try:
-                spec[key.strip()] = float(val)
-            except ValueError:
-                raise SystemExit(
-                    f"--sample: fraction for {key.strip()!r} is not a "
-                    f"number: {val!r}") from None
+        spec = _parse_spec(args.sample, "--sample")
         default = spec.pop("default", 0.0)
         chunks = weighted_sample(
             chunks, spec, group_col="lang", key_col="doc_id",
             default_fraction=default)
+    if args.split:
+        from osm_sidewalkreator_spark.operators.domains import (
+            split_corpus)
+        # keyed on doc_id: every chunk of a doc lands in the same
+        # split, so no document leaks across train/val/test
+        chunks = split_corpus(chunks, _parse_spec(args.split,
+                                                  "--split"),
+                              key_col="doc_id")
     if args.pack and not args.shards:
         raise SystemExit("--pack requires --shards (sequences are "
                          "packed within shards)")

@@ -485,3 +485,78 @@ def quantized_recall_at_k(emb: DataFrame, k: int = 5,
     hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
     n_truth = truth.count()
     return (hit.count() / n_truth) if n_truth else 1.0
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.95,
+             n_centroids: int = 32, iters: int = 4,
+             centroids: list | None = None,
+             max_cell: int = 4096) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup via k-means blocking. Cluster the embeddings with the
+    spherical k-means trainer, mint candidate pairs ONLY within a
+    cluster, connect pairs with cosine >= threshold into groups, and
+    keep exactly one document per group — the member with the LOWEST
+    cosine to its cluster centroid (the paper's "keep the example
+    farthest from the centroid" rule; it preserves the cluster's
+    outer hull and drops its redundant core), ties by min vec_id.
+
+    Scale shape: pairwise cost falls from O(N^2) to
+    O(sum_c n_c^2) — with balanced cells a ~n_centroids-fold cut —
+    and each cell's pair minting is an equi-join on cid, so cells
+    process independently (embarrassingly parallel across the
+    cluster). Cells larger than ``max_cell`` are exempt from pair
+    minting (hot-cell guard, same contract as the LSH
+    ``max_bucket``: a skipped cell KEEPS its documents — blocking
+    can only miss duplicates, never drop uniques). At the 10^12-row
+    north star you raise n_centroids so n_c stays bounded; the
+    centroid model is k x dim doubles and rides into the scan as a
+    literal, so blocking itself is shuffle-free.
+
+    Cosines are rounded to 9 decimals before every compare (both the
+    threshold and the keep rule) so an independent engine ranks
+    borderline pairs and representatives identically.
+    """
+    from .graph import connected_components
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0,1]: {threshold}")
+    if centroids is None:
+        centroids = kmeans_fit_spherical(emb, n_centroids=n_centroids,
+                                         iters=iters)
+    if not centroids:
+        return emb
+    nrm = _norm(F.col("v"))
+    vn = F.when(nrm > F.lit(0.0),
+                F.transform(F.col("v"), lambda x: x / nrm)) \
+         .otherwise(F.col("v"))
+    cmat = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    sims = F.transform(cmat, lambda cv: _dot(F.col("vn"), cv))
+    e = (emb.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"))
+         .select("vec_id", vn.alias("vn"))
+         .withColumn("cid", (F.array_position(
+             F.transform(cmat, lambda cv: _dot(F.col("vn"), cv)),
+             F.array_max(F.transform(
+                 cmat, lambda cv: _dot(F.col("vn"), cv)))) - 1)
+             .cast("int"))
+         .withColumn("cent_sim", F.round(F.array_max(sims), 9)))
+    wc = Window.partitionBy("cid")
+    e = e.withColumn("_cn", F.count("*").over(wc))
+    small = e.filter(F.col("_cn") <= max_cell)
+    a = small.select("cid", F.col("vec_id").alias("ia"),
+                     F.col("vn").alias("va"))
+    b = small.select("cid", F.col("vec_id").alias("ib"),
+                     F.col("vn").alias("vb"))
+    pair_sim = F.round(_dot(F.col("va"), F.col("vb")), 9)
+    pairs = (a.join(b, "cid").filter(F.col("ia") < F.col("ib"))
+             .filter(pair_sim >= F.lit(float(threshold)))
+             .select("ia", "ib"))
+    cc = connected_components(pairs, "ia", "ib")
+    members = cc.join(e.select("vec_id", "cent_sim"),
+                      cc.node == e.vec_id).select(
+        "component", F.col("node").alias("vec_id"), "cent_sim")
+    wk = Window.partitionBy("component").orderBy(
+        F.col("cent_sim").asc(), F.col("vec_id").asc())
+    dropped = (members.withColumn("_rn", F.row_number().over(wk))
+               .filter(F.col("_rn") > 1).select("vec_id"))
+    return emb.join(dropped, "vec_id", "left_anti")

@@ -38,6 +38,9 @@ from osm_sidewalkreator_spark.operators import textops as TX
 
 
 def curation_stages(docs: DataFrame, *, normalize: bool = False,
+                    block_domains: list | None = None,
+                    max_per_domain: int | None = None,
+                    domain_cap_exact: bool = False,
                     min_quality: float = 0.0,
                     langs: tuple[str, ...] | None = None,
                     max_dup_3gram: float | None = None,
@@ -75,9 +78,27 @@ def curation_stages(docs: DataFrame, *, normalize: bool = False,
     # — attached with withColumn, NOT by joining the operator outputs
     # back on doc_id (which would re-scan the corpus and shuffle for
     # columns Catalyst can compute inside the scan stage)
+    if block_domains is not None or max_per_domain is not None:
+        # domain hygiene runs FIRST: it needs only the url column and
+        # shrinks the corpus before any text work. Requires the
+        # production pages shape (url present) — the sf `documents`
+        # table has no url, so these stages are opt-in.
+        from osm_sidewalkreator_spark.operators import domains as DM
+        if "url" not in docs.columns:
+            raise ValueError(
+                "domain stages need a 'url' column on the input")
+        if block_domains is not None:
+            # tiny list -> broadcast anti-join, zero corpus shuffle
+            docs = DM.filter_blocklist(docs, block_domains)
+        if max_per_domain is not None:
+            # sampled cap is the 100 TB default (no corpus shuffle,
+            # skew-immune); exact cap opts into the window shuffle
+            docs = (DM.cap_per_domain(docs, max_per_domain)
+                    if domain_cap_exact else
+                    DM.cap_per_domain_sampled(docs, max_per_domain))
     if normalize:
-        # first: every downstream signal keys on the cleaned text
-        # (row-pure, zero shuffles)
+        # first text stage: every downstream signal keys on the
+        # cleaned text (row-pure, zero shuffles)
         docs = docs.withColumn("text", TX.normalize_text_expr())
     if scrub_pii:
         docs = docs.withColumn("text", TX.pii_scrub_expr())
@@ -152,6 +173,9 @@ def curation_stages(docs: DataFrame, *, normalize: bool = False,
 
 
 def curate_corpus(docs: DataFrame, *, normalize: bool = False,
+                  block_domains: list | None = None,
+                  max_per_domain: int | None = None,
+                  domain_cap_exact: bool = False,
                   min_quality: float = 0.0,
                   langs: tuple[str, ...] | None = None,
                   max_dup_3gram: float | None = None,
@@ -175,7 +199,9 @@ def curate_corpus(docs: DataFrame, *, normalize: bool = False,
     highest-quality member (ties -> lowest doc_id).
     """
     return curation_stages(
-        docs, normalize=normalize,
+        docs, normalize=normalize, block_domains=block_domains,
+        max_per_domain=max_per_domain,
+        domain_cap_exact=domain_cap_exact,
         min_quality=min_quality, langs=langs,
         max_dup_3gram=max_dup_3gram, max_boilerplate=max_boilerplate,
         boilerplate_df=boilerplate_df, scrub_pii=scrub_pii,
