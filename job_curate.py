@@ -74,6 +74,10 @@ def main(argv=None):
     ap.add_argument("--max-boilerplate", type=float, default=None,
                     help="drop docs whose corpus-common-shingle ratio "
                     "exceeds this (adds the DF-index shuffles)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the full Gopher (Rae et al. 2021) "
+                    "document-quality rule set before scoring "
+                    "(row-pure, zero shuffles)")
     ap.add_argument("--normalize", action="store_true",
                     help="collapse whitespace / strip control chars "
                     "before any scoring (row-pure, zero shuffles)")
@@ -143,6 +147,7 @@ def main(argv=None):
         max_per_domain=args.max_per_domain,
         domain_cap_exact=args.domain_cap_exact,
         min_quality=args.min_quality,
+        gopher=args.gopher,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         max_dup_3gram=args.max_dup_3gram,
         max_boilerplate=args.max_boilerplate,

@@ -701,3 +701,115 @@ def normalize_text_expr(col="text"):
 def normalize_text(docs: DataFrame, col: str = "text") -> DataFrame:
     """``normalize_text_expr`` applied in place (text rewritten)."""
     return docs.withColumn(col, normalize_text_expr(col))
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# ..., Gopher", Appendix A1.1.2 — the MassiveWeb document filters).
+# The paper's REQUIRED stopword list, distinct from the scoring
+# STOPWORDS above.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+_GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_flags_expr(col: str = "text", min_words: int = 50,
+                      max_words: int = 100_000,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0,
+                      max_symbol_ratio: float = 0.1,
+                      max_bullet_frac: float = 0.9,
+                      max_ellipsis_frac: float = 0.3,
+                      min_alpha_frac: float = 0.8,
+                      min_stopwords: int = 2,
+                      max_dup_line_frac: float = 0.3,
+                      max_dup_line_char_frac: float = 0.2):
+    """The Gopher document-quality rules as ONE struct Column of
+    booleans plus an overall ``pass`` — row-pure JVM column algebra
+    (splits / higher-order array functions), so the whole rule set
+    rides inside the scan stage with zero shuffles and DuckDB can
+    recompute every flag exactly for parity.
+
+    Flags are True when the document VIOLATES the rule:
+
+    * ``bad_word_count``    word count outside [min_words, max_words]
+    * ``bad_mean_word_len`` mean word length outside [3, 10]
+    * ``bad_symbol_ratio``  ('#' + '...') occurrences / words > 0.1
+    * ``bad_bullet_lines``  > 90% of lines start with a bullet
+    * ``bad_ellipsis_lines``> 30% of lines end with '...' or '…'
+    * ``bad_alpha_words``   < 80% of words contain a letter
+    * ``bad_stopwords``     fewer than 2 distinct required stopwords
+    * ``bad_dup_lines``     duplicate-line fraction > 0.3
+    * ``bad_dup_line_chars``chars inside duplicate lines > 0.2
+
+    Fractions over empty denominators are treated as non-violations
+    (an empty doc fails ``bad_word_count`` anyway).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_w = F.size(words)
+    sum_wlen = F.aggregate(words, F.lit(0),
+                           lambda a, w: a + F.length(w))
+    mean_wlen = F.when(n_w > 0, sum_wlen / n_w).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (F.length(c)
+             - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    sym_ratio = F.when(n_w > 0, (n_hash + n_ell) / n_w) \
+        .otherwise(F.lit(0.0))
+    lines = F.filter(F.split(c, r"\n"),
+                     lambda ln: F.trim(ln) != "")
+    n_l = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.substring(F.trim(ln), 1, 1)
+        .isin(*_GOPHER_BULLETS)))
+    ell_end = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).endswith("...")
+        | F.trim(ln).endswith("…")))
+    alpha = F.size(F.filter(words,
+                            lambda w: w.rlike("[A-Za-z]")))
+    stops = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array([F.lit(s) for s in GOPHER_STOPWORDS])))
+    dist_lines = F.array_distinct(lines)
+    n_dl = F.size(dist_lines)
+    line_chars = F.aggregate(lines, F.lit(0),
+                             lambda a, ln: a + F.length(ln))
+    dist_chars = F.aggregate(dist_lines, F.lit(0),
+                             lambda a, ln: a + F.length(ln))
+    frac = lambda num, den: F.when(den > 0, num / den) \
+        .otherwise(F.lit(0.0))  # noqa: E731
+    flags = {
+        "bad_word_count": (n_w < min_words) | (n_w > max_words),
+        "bad_mean_word_len": (mean_wlen < min_mean_word_len)
+        | (mean_wlen > max_mean_word_len),
+        "bad_symbol_ratio": sym_ratio > max_symbol_ratio,
+        "bad_bullet_lines": frac(bullet, n_l) > max_bullet_frac,
+        "bad_ellipsis_lines": frac(ell_end, n_l) > max_ellipsis_frac,
+        "bad_alpha_words": frac(alpha, n_w) < min_alpha_frac,
+        "bad_stopwords": stops < min_stopwords,
+        "bad_dup_lines": frac(n_l - n_dl, n_l) > max_dup_line_frac,
+        "bad_dup_line_chars":
+            frac(line_chars - dist_chars, line_chars)
+            > max_dup_line_char_frac,
+    }
+    passed = None
+    for v in flags.values():
+        passed = ~v if passed is None else passed & ~v
+    return F.struct(*[v.alias(k) for k, v in flags.items()],
+                    passed.alias("pass"))
+
+
+def gopher_filter(docs: DataFrame, col: str = "text",
+                  **thresholds) -> DataFrame:
+    """Keep only documents passing every Gopher rule — a narrow
+    filter (`gopher_flags_expr` is row-pure), composable into the
+    curation chain at zero shuffle cost."""
+    return docs.filter(gopher_flags_expr(col, **thresholds)["pass"])
+
+
+def gopher_report(docs: DataFrame, col: str = "text",
+                  **thresholds) -> DataFrame:
+    """(doc_id, one boolean column per rule, pass) — the audit view:
+    which rule kills which document."""
+    s = gopher_flags_expr(col, **thresholds)
+    return docs.select("doc_id", s.alias("_g")).select(
+        "doc_id", "_g.*")

@@ -42,6 +42,7 @@ def curation_stages(docs: DataFrame, *, normalize: bool = False,
                     max_per_domain: int | None = None,
                     domain_cap_exact: bool = False,
                     min_quality: float = 0.0,
+                    gopher: bool = False,
                     langs: tuple[str, ...] | None = None,
                     max_dup_3gram: float | None = None,
                     max_boilerplate: float | None = None,
@@ -110,6 +111,10 @@ def curation_stages(docs: DataFrame, *, normalize: bool = False,
         docs = TX.remove_repeated_spans(
             docs, span_tokens=strip_spans_tokens) \
             .drop("n_tokens_removed", "n_spans_removed")
+    if gopher:
+        # the full Gopher rule set (row-pure struct expr — adds zero
+        # shuffles, rides the same scan as quality/langid below)
+        docs = TX.gopher_filter(docs)
     d = (docs.withColumn("quality", TX.quality_expr())
          .withColumn("lang_pred", TX.langid_expr())
          .filter(F.col("quality") >= F.lit(min_quality)))
@@ -177,6 +182,7 @@ def curate_corpus(docs: DataFrame, *, normalize: bool = False,
                   max_per_domain: int | None = None,
                   domain_cap_exact: bool = False,
                   min_quality: float = 0.0,
+                  gopher: bool = False,
                   langs: tuple[str, ...] | None = None,
                   max_dup_3gram: float | None = None,
                   max_boilerplate: float | None = None,
@@ -202,7 +208,7 @@ def curate_corpus(docs: DataFrame, *, normalize: bool = False,
         docs, normalize=normalize, block_domains=block_domains,
         max_per_domain=max_per_domain,
         domain_cap_exact=domain_cap_exact,
-        min_quality=min_quality, langs=langs,
+        min_quality=min_quality, gopher=gopher, langs=langs,
         max_dup_3gram=max_dup_3gram, max_boilerplate=max_boilerplate,
         boilerplate_df=boilerplate_df, scrub_pii=scrub_pii,
         strip_spans_tokens=strip_spans_tokens, max_nll=max_nll,
