@@ -1,0 +1,135 @@
+"""BPE trainer/encoder vs an independent reference implementation.
+
+The reference trainer below uses a different structure (Counter +
+regex-free sequential merge application) so trainer parity is a real
+cross-check, and the reference ENCODER applies merges sequentially in
+learned order — equivalent to the engine's greedy lowest-rank-first
+loop for valid BPE merge lists, which the parity test proves on every
+corpus word.
+"""
+
+from collections import Counter
+
+import duckdb
+import pytest
+
+from osm_sidewalkreator_spark.operators import bpe as B
+from osm_sidewalkreator_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark(shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def ref_counts(docs):
+    c = Counter()
+    for r in docs.select("text").collect():
+        c.update(r.text.split())
+    return dict(c)
+
+
+def _ref_train(word_counts, n_merges):
+    vocab = {w: list(w) + [B.EOW] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, sym in vocab.items():
+            n = word_counts[w]
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        top = max(pc.values())
+        if top < 2:
+            break
+        pair = min(p for p, k in pc.items() if k == top)
+        merges.append(pair)
+        for w, sym in vocab.items():
+            vocab[w] = _ref_apply(sym, pair)
+    return merges
+
+
+def _ref_apply(sym, pair):
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+            out.append(sym[i] + sym[i + 1])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _ref_encode(word, merges):
+    sym = list(word) + [B.EOW]
+    for pair in merges:          # sequential, in learned order
+        sym = _ref_apply(sym, pair)
+    return sym
+
+
+def test_word_counts_match_duckdb(spark, docs):
+    got = {(r.word, r.n) for r in B.bpe_word_counts(docs).collect()}
+    con = duckdb.connect()
+    con.register("d", docs.toPandas())
+    want = {(r[0], r[1]) for r in con.execute(r"""
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_filter(
+                  string_split_regex(text, '\s+'), x -> x <> '')) AS w
+              FROM d)
+        GROUP BY w""").fetchall()}
+    con.close()
+    assert got == want
+
+
+def test_trainer_matches_reference(docs, ref_counts):
+    got = B.bpe_train(B.bpe_word_counts(docs), n_merges=60)
+    want = _ref_train(ref_counts, 60)
+    assert got == want
+    assert len(got) == 60  # corpus is rich enough to learn them all
+
+
+def test_encoder_matches_reference_and_roundtrips(spark, docs,
+                                                  ref_counts):
+    merges = _ref_train(ref_counts, 60)
+    enc = B.bpe_encode(docs, merges)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r.doc_id: list(r.bpe_tokens) for r in enc.collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for did, text in texts.items():
+        want = []
+        for w in text.split():
+            want.extend(_ref_encode(w, merges))
+        assert rows[did] == want, did
+        # lossless: stripping EOW and re-splitting recovers the words
+        joined = "".join(rows[did]).replace(B.EOW, " ").split()
+        assert joined == text.split()
+
+
+def test_more_merges_never_grow_token_count(spark, docs, ref_counts):
+    m100 = _ref_train(ref_counts, 100)
+    short = (B.bpe_encode(docs, m100[:20])
+             .agg({"n_bpe_tokens": "sum"}).first()[0])
+    long_ = (B.bpe_encode(docs, m100)
+             .agg({"n_bpe_tokens": "sum"}).first()[0])
+    assert long_ < short
+
+
+def test_train_on_corpus_with_word_budget(docs):
+    merges = B.train_bpe_on_corpus(docs, n_merges=10, max_words=50)
+    assert len(merges) == 10
+    # every merge pair's fusion is a substring of some frequent
+    # word + sentinel
+    for a, b in merges:
+        assert isinstance(a, str) and isinstance(b, str)
