@@ -813,3 +813,28 @@ def gopher_report(docs: DataFrame, col: str = "text",
     s = gopher_flags_expr(col, **thresholds)
     return docs.select("doc_id", s.alias("_g")).select(
         "doc_id", "_g.*")
+
+
+def latest_crawl(pages: DataFrame, url_col: str = "url",
+                 ts_col: str = "warc_ts") -> DataFrame:
+    """Recrawl dedup over a Common-Crawl-style pages table: keep ONE
+    row per canonical URL — the newest ``warc_ts``, with full
+    determinism on timestamp ties (md5(text) then raw url as final
+    tie-breaks, so two byte-identical snapshots pick the same winner
+    on any engine).
+
+    This is the CC-index "latest revision" rule: recrawls of the same
+    page (and trivial URL variants — case, www., default ports,
+    fragments — collapsed by ``canonicalize_url``) must not multiply
+    into the training corpus. One hash exchange on the canonical url
+    + in-partition sort; per-url group size is the recrawl count
+    (bounded small), so there is no skew hazard, and the window beats
+    the max-ts + join-back alternative's two shuffles.
+    """
+    canon, _dom = canonicalize_url(F.col(url_col))
+    d = pages.withColumn("_canon", canon)
+    w = Window.partitionBy("_canon").orderBy(
+        F.col(ts_col).desc(), F.md5("text").asc(),
+        F.col(url_col).asc())
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "_canon"))
