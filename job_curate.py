@@ -190,9 +190,14 @@ def main(argv=None):
             from osm_sidewalkreator_spark.operators.packing import (
                 pack_sequences)
             # training order (shard_order) decides packing adjacency;
-            # (doc_id, chunk_idx) keeps a doc's chunks contiguous
+            # (doc_id, chunk_idx) keeps a doc's chunks contiguous.
+            # With --split the split label JOINS THE GROUP KEY: a
+            # packed sequence must never mix train and held-out text
+            # (costs one extra exchange — correctness over shuffle
+            # parsimony here).
+            grp = ("shard", "split") if args.split else "shard"
             sharded = pack_sequences(
-                sharded, args.pack, group_col="shard",
+                sharded, args.pack, group_col=grp,
                 order_cols=("shard_order", "doc_id", "chunk_idx"))
         (sharded.write.mode("overwrite")
          .option("maxRecordsPerFile", args.max_records_per_file)
@@ -217,8 +222,10 @@ def main(argv=None):
         "chunk_tokens_total": int(chunk_stats["tok"]),
     }
     if args.pack:
+        seq_key = ["shard", "split", "seq_id"] if args.split \
+            else ["shard", "seq_id"]
         seqs = (spark.read.parquet(str(out / "chunks"))
-                .agg(F.countDistinct("shard", "seq_id").alias("n"))
+                .agg(F.countDistinct(*seq_key).alias("n"))
                 .first()["n"])
         metrics["sequences"] = seqs
         metrics["packing_efficiency"] = round(

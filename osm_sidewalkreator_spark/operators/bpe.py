@@ -136,7 +136,10 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
         memo: dict[str, list[str]] = {}
         for pdf in it:
             toks = []
-            for text in pdf[colname].astype(str):
+            for text in pdf[colname]:
+                if not isinstance(text, str):
+                    text = ""  # null text -> zero tokens, never the
+                    # stringified 'None'
                 out: list[str] = []
                 for w in text.split():
                     got = memo.get(w)

@@ -51,12 +51,22 @@ _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 def domain_expr(url_col="url"):
     """Registrable host of a URL as a Column: lowercased, port and
     userinfo stripped, one leading ``www.`` label dropped. Empty
-    string for non-URL junk (never null, so it is a safe groupBy
-    key). Pure JVM regexp — stays in the scan stage."""
+    string for non-URL junk AND for null urls (never null, so it is
+    a safe groupBy key and both blocklist paths agree on it). Pure
+    JVM regexp — stays in the scan stage.
+
+    This is the CURATION key (what a blocklist or per-domain cap
+    means by "domain"); ``textops.canonicalize_url``'s ``domain`` is
+    a different, oracle-pinned beast — the full lowercased authority
+    with only ``www.`` stripped (userinfo/non-default ports kept),
+    because the canonical URL it belongs to must round-trip the
+    original authority. Don't unify them: dedup identity and
+    curation grouping legitimately disagree on userinfo."""
     col = F.col(url_col) if isinstance(url_col, str) else url_col
     host = F.lower(F.regexp_extract(col, _HOST_RE, 1))
-    return F.when(host.startswith("www."),
-                  F.substring(host, 5, 2 ** 30)).otherwise(host)
+    out = F.when(host.startswith("www."),
+                 F.substring(host, 5, 2 ** 30)).otherwise(host)
+    return F.coalesce(out, F.lit(""))
 
 
 def with_domain(docs: DataFrame, url_col: str = "url",
@@ -77,6 +87,11 @@ def cap_per_domain(docs: DataFrame, max_docs: int,
     One exchange (hash partition by domain) + one in-partition sort.
     All rows of a domain land in one task — exact, but skew-exposed;
     see ``cap_per_domain_sampled`` for the 100 TB path.
+
+    Docs whose url yields no domain (junk/null -> ``''``) are EXEMPT:
+    they are many unrelated documents sharing a parse failure, not
+    one domain, and capping them would silently delete an arbitrary
+    slice of the corpus.
     """
     if max_docs < 1:
         raise ValueError(f"max_docs must be >= 1: {max_docs}")
@@ -84,7 +99,9 @@ def cap_per_domain(docs: DataFrame, max_docs: int,
     w = Window.partitionBy("_dom").orderBy(
         _unit_hash(F.col(key_col), seed).asc(), F.col(key_col).asc())
     return (d.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_docs).drop("_rn", "_dom"))
+            .filter((F.col("_dom") == "")
+                    | (F.col("_rn") <= max_docs))
+            .drop("_rn", "_dom"))
 
 
 def cap_per_domain_sampled(docs: DataFrame, max_docs: int,
@@ -103,8 +120,9 @@ def cap_per_domain_sampled(docs: DataFrame, max_docs: int,
     if max_docs < 1:
         raise ValueError(f"max_docs must be >= 1: {max_docs}")
     d = docs.withColumn("_dom", domain_expr(url_col))
+    # '' (junk/null url) exempt — same contract as the exact cap
     over = (d.groupBy("_dom").agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_docs)
+            .filter((F.col("_n") > max_docs) & (F.col("_dom") != ""))
             .withColumn("_frac", F.lit(float(max_docs)) / F.col("_n"))
             .drop("_n"))
     kept = (d.join(F.broadcast(over), "_dom", "left")
@@ -128,14 +146,20 @@ def filter_blocklist(docs: DataFrame, blocked: DataFrame | list,
         norm = set()
         for b in blocked:
             b = str(b).strip().lower()
+            if not b:
+                continue  # an empty entry must never block the ''
+                # junk-url pseudo-domain (a stray comma would
+                # otherwise delete every unparseable-url doc)
             norm.add(b[4:] if b.startswith("www.") else b)
         out = d.filter(~F.col("_dom").isin(sorted(norm)))
     else:
         bcol = blocked.columns[0]
-        bl = blocked.select(F.lower(F.col(bcol)).alias("_b")) \
+        bl = blocked.select(F.lower(F.trim(F.col(bcol))).alias("_b")) \
             .select(F.when(F.col("_b").startswith("www."),
                            F.expr("substring(_b, 5)"))
-                    .otherwise(F.col("_b")).alias("_dom")).distinct()
+                    .otherwise(F.col("_b")).alias("_dom")) \
+            .filter(F.col("_dom").isNotNull() & (F.col("_dom") != "")) \
+            .distinct()
         out = d.join(F.broadcast(bl), "_dom", "left_anti")
     return out.drop("_dom")
 

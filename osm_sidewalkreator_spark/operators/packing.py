@@ -69,7 +69,7 @@ def pack_next_fit(tokens: np.ndarray, capacity: int) -> np.ndarray:
 
 
 def pack_sequences(chunks: DataFrame, seq_tokens: int,
-                   group_col: str = "shard",
+                   group_col="shard",
                    order_cols: Iterable[str] = ("doc_id", "chunk_idx"),
                    tokens_col: str = "n_chunk_tokens") -> DataFrame:
     """Add (seq_id, seq_pos, oversize) to a chunk table.
@@ -78,9 +78,17 @@ def pack_sequences(chunks: DataFrame, seq_tokens: int,
     global id is ``(group_col, seq_id)``); ``seq_pos`` is the chunk's
     0-based position inside its sequence; ``oversize`` marks single
     chunks that exceed ``seq_tokens`` on their own.
+
+    ``group_col`` may be one column name or a sequence of them —
+    packing NEVER crosses a group boundary, so callers with a
+    train/val/test ``split`` column must include it in the group key
+    (a sequence mixing splits would leak held-out text into training;
+    see job_curate.py).
     """
     if seq_tokens < 1:
         raise ValueError(f"seq_tokens must be >= 1: {seq_tokens}")
+    group_cols = [group_col] if isinstance(group_col, str) \
+        else list(group_col)
     order_cols = tuple(order_cols)
     out_schema = T.StructType(
         chunks.schema.fields
@@ -105,4 +113,4 @@ def pack_sequences(chunks: DataFrame, seq_tokens: int,
         pdf["oversize"] = toks > seq_tokens
         return pdf[cols + ["seq_id", "seq_pos", "oversize"]]
 
-    return chunks.groupBy(group_col).applyInPandas(_pack, out_schema)
+    return chunks.groupBy(*group_cols).applyInPandas(_pack, out_schema)

@@ -540,9 +540,13 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
                  cmat, lambda cv: _dot(F.col("vn"), cv)))) - 1)
              .cast("int"))
          .withColumn("cent_sim", F.round(F.array_max(sims), 9)))
-    wc = Window.partitionBy("cid")
-    e = e.withColumn("_cn", F.count("*").over(wc))
-    small = e.filter(F.col("_cn") <= max_cell)
+    # cell sizes via a collapsing groupBy (k rows after map-side
+    # combine) broadcast back — a count window over cid would shuffle
+    # the whole corpus into <= n_centroids partitions, reintroducing
+    # the exact megacell straggler the guard exists to avoid
+    ok_cells = (e.groupBy("cid").agg(F.count(F.lit(1)).alias("_cn"))
+                .filter(F.col("_cn") <= max_cell).select("cid"))
+    small = e.join(F.broadcast(ok_cells), "cid", "left_semi")
     a = small.select("cid", F.col("vec_id").alias("ia"),
                      F.col("vn").alias("va"))
     b = small.select("cid", F.col("vec_id").alias("ib"),

@@ -751,8 +751,11 @@ def gopher_flags_expr(col: str = "text", min_words: int = 50,
                            lambda a, w: a + F.length(w))
     mean_wlen = F.when(n_w > 0, sum_wlen / n_w).otherwise(F.lit(0.0))
     n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    # both ellipsis spellings count toward the symbol ratio (the
+    # line-ending rule below already accepted both)
     n_ell = (F.length(c)
-             - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+             - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3 \
+        + (F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit(""))))
     sym_ratio = F.when(n_w > 0, (n_hash + n_ell) / n_w) \
         .otherwise(F.lit(0.0))
     lines = F.filter(F.split(c, r"\n"),
@@ -816,7 +819,8 @@ def gopher_report(docs: DataFrame, col: str = "text",
 
 
 def latest_crawl(pages: DataFrame, url_col: str = "url",
-                 ts_col: str = "warc_ts") -> DataFrame:
+                 ts_col: str = "warc_ts",
+                 text_col: str = "text") -> DataFrame:
     """Recrawl dedup over a Common-Crawl-style pages table: keep ONE
     row per canonical URL — the newest ``warc_ts``, with full
     determinism on timestamp ties (md5(text) then raw url as final
@@ -834,7 +838,7 @@ def latest_crawl(pages: DataFrame, url_col: str = "url",
     canon, _dom = canonicalize_url(F.col(url_col))
     d = pages.withColumn("_canon", canon)
     w = Window.partitionBy("_canon").orderBy(
-        F.col(ts_col).desc(), F.md5("text").asc(),
+        F.col(ts_col).desc(), F.md5(text_col).asc(),
         F.col(url_col).asc())
     return (d.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn", "_canon"))

@@ -133,3 +133,12 @@ def test_train_on_corpus_with_word_budget(docs):
     # word + sentinel
     for a, b in merges:
         assert isinstance(a, str) and isinstance(b, str)
+
+
+def test_bpe_encode_null_text_yields_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, None)], ["doc_id", "text"])
+    rows = {r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+            for r in B.bpe_encode(df, [("t", "h")]).collect()}
+    assert rows[2] == ([], 0)        # not the stringified 'None'
+    assert rows[1][1] > 0

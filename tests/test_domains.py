@@ -93,17 +93,18 @@ def test_cap_per_domain_matches_duckdb(spark, docs):
     u = UNIT_SQL.format(seed="domcap-v1")
     want = con.execute(f"""
         SELECT doc_id FROM (
-          SELECT doc_id,
+          SELECT doc_id, {DOM_SQL} AS dom,
                  row_number() OVER (PARTITION BY {DOM_SQL}
                      ORDER BY {u} ASC, doc_id ASC) AS rn
           FROM d)
-        WHERE rn <= {cap} ORDER BY doc_id
+        WHERE rn <= {cap} OR dom = '' ORDER BY doc_id
     """).df()
     con.close()
     assert got.doc_id.tolist() == want.doc_id.tolist()
-    # the cap actually binds on this input
+    # the cap binds on every REAL domain; the '' junk-url
+    # pseudo-domain (50 docs here) is exempt by contract
     n_dom = DO.with_domain(docs).select("domain").distinct().count()
-    assert len(got) == n_dom * cap  # every synth domain is over-cap
+    assert len(got) == (n_dom - 1) * cap + 50
 
 
 def test_cap_per_domain_sampled_matches_duckdb(spark, docs):
@@ -117,7 +118,8 @@ def test_cap_per_domain_sampled_matches_duckdb(spark, docs):
         WITH dd AS (SELECT doc_id, {DOM_SQL} AS dom FROM d),
         over_cap AS (
           SELECT dom, {cap} / CAST(count(*) AS DOUBLE) AS frac
-          FROM dd GROUP BY dom HAVING count(*) > {cap})
+          FROM dd GROUP BY dom
+          HAVING count(*) > {cap} AND dom <> '')
         SELECT dd.doc_id FROM dd LEFT JOIN over_cap USING (dom)
         WHERE frac IS NULL OR {u} < frac
         ORDER BY doc_id
@@ -241,3 +243,30 @@ def test_job_curate_split_smoke(spark, tmp_path):
     labels = {r.split for r in chunks.select("split")
               .distinct().collect()}
     assert labels <= {"train", "val", "test"} and "train" in labels
+
+
+def test_null_and_junk_urls_are_cap_exempt_and_unblockable(spark,
+                                                           docs):
+    nulled = docs.withColumn(
+        "url", F.when(F.col("doc_id") % 10 == 3, F.lit(None))
+        .otherwise(F.col("url")))
+    # null url -> domain '' (never null): both blocklist forms agree
+    # and neither drops the null/junk rows
+    out_list = DO.filter_blocklist(nulled, ["alpha.example", "",
+                                            "  "])
+    bl = spark.createDataFrame([("alpha.example",), ("",)], ["d"])
+    out_df = DO.filter_blocklist(nulled, bl)
+    a = sorted(r.doc_id for r in out_list.select("doc_id").collect())
+    b = sorted(r.doc_id for r in out_df.select("doc_id").collect())
+    assert a == b
+    survivors = set(a)
+    assert all(d in survivors for d in range(3, 100, 10))  # nulls kept
+    assert all(d not in survivors for d in range(0, 100, 10))  # alpha
+    # caps exempt the '' pseudo-domain entirely (both variants)
+    for fn in (DO.cap_per_domain, DO.cap_per_domain_sampled):
+        kept = DO.with_domain(fn(nulled, 5))
+        per = {r.domain: r.n for r in kept.groupBy("domain")
+               .agg(F.count("*").alias("n")).collect()}
+        total_junk = DO.with_domain(nulled).filter("domain = ''") \
+            .count()
+        assert per[""] == total_junk

@@ -35,6 +35,8 @@ CRAFTED = [
     (10_009, "\n".join(["the same line of that and be with more"] * 8
                        + ["unique tail %d" % i for i in range(2)])),
     # ^ duplicate lines -> bad_dup_lines + bad_dup_line_chars
+    (10_010, GOOD + (" …" * 30)),
+    # ^ Unicode ellipsis must count toward bad_symbol_ratio too
 ]
 
 
@@ -67,7 +69,8 @@ m AS (
         / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS mean_wlen,
     CASE WHEN len(words) > 0 THEN
       ((length(text) - length(replace(text, '#', ''))) +
-       (length(text) - length(replace(text, '...', ''))) / 3.0)
+       (length(text) - length(replace(text, '...', ''))) / 3.0 +
+       (length(text) - length(replace(text, '…', ''))))
         / len(words) ELSE 0.0 END AS sym_ratio,
     len(lines) AS n_l,
     len(list_filter(lines,
@@ -140,8 +143,9 @@ def test_gopher_crafted_docs_each_trip_their_rule(spark, docs):
     assert rep[10_008]["bad_stopwords"]
     assert rep[10_009]["bad_dup_lines"]
     assert rep[10_009]["bad_dup_line_chars"]
+    assert rep[10_010]["bad_symbol_ratio"]  # '…' spelling counts
     for did in (10_002, 10_003, 10_004, 10_005, 10_006, 10_007,
-                10_008, 10_009):
+                10_008, 10_009, 10_010):
         assert not rep[did]["pass"]
 
 

@@ -96,3 +96,14 @@ def test_latest_crawl_semantics(spark, crawls):
     # one-per-canonical is structural: canonical urls are distinct
     canon, _ = TX.canonicalize_url(F.col("url"))
     assert out.select(canon).distinct().count() == base_n
+
+
+def test_latest_crawl_custom_text_column(spark):
+    df = spark.createDataFrame(
+        [("https://a.example/p", "2025-01-01 00:00:00", "old"),
+         ("https://a.example/p", "2025-01-02 00:00:00", "new")],
+        ["page_url", "fetch_ts", "body"]).withColumn(
+        "fetch_ts", F.to_timestamp("fetch_ts"))
+    out = TX.latest_crawl(df, url_col="page_url", ts_col="fetch_ts",
+                          text_col="body").collect()
+    assert len(out) == 1 and out[0].body == "new"

@@ -121,3 +121,33 @@ def test_rejects_bad_inputs(spark):
         PK.pack_sequences(d, 0)
     with pytest.raises(Exception):   # zero-token chunk surfaces
         PK.pack_sequences(d, 10).collect()
+
+
+def test_pack_sequences_never_crosses_multi_group_key(spark):
+    from osm_sidewalkreator_spark.operators.domains import split_corpus
+    from osm_sidewalkreator_spark.operators.packing import (
+        pack_sequences)
+    import pyspark.sql.functions as F
+    chunks = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("shard"),
+        F.lit(0).alias("chunk_idx"),
+        (F.pmod(F.col("id") * 7, F.lit(90)) + 10).cast("int")
+        .alias("n_chunk_tokens"))
+    chunks = split_corpus(chunks, {"train": 0.8, "val": 0.2},
+                          key_col="doc_id")
+    packed = pack_sequences(chunks, 128,
+                            group_col=("shard", "split"),
+                            order_cols=("doc_id", "chunk_idx"))
+    # a (shard, split, seq_id) sequence contains exactly one split
+    mixed = (packed.groupBy("shard", "seq_id")
+             .agg(F.countDistinct("split").alias("k")))
+    # same (shard, seq_id) MAY repeat across splits — that's why the
+    # split is part of the key; within (shard, split, seq_id) the
+    # capacity invariant still holds
+    cap = (packed.filter(~F.col("oversize"))
+           .groupBy("shard", "split", "seq_id")
+           .agg(F.sum("n_chunk_tokens").alias("t"))
+           .filter(F.col("t") > 128).count())
+    assert cap == 0
+    assert packed.count() == chunks.count()
