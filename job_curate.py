@@ -232,6 +232,32 @@ def main(argv=None):
             int(chunk_stats["tok"]) / (seqs * args.pack), 4)
     labeled.unpersist()
     (out / "metrics.json").write_text(json.dumps(metrics, indent=2))
+
+    # data card: the per-stratum accounting a corpus release ships —
+    # docs/chunks/tokens by language (and split when present), from
+    # ONE collapsing aggregate over the already-written chunk parquet
+    # (#strata rows reach the driver, nothing more)
+    written = spark.read.parquet(str(out / "chunks"))
+    strata = [c for c in ("lang", "split") if c in written.columns]
+    card_rows = (written.groupBy(*strata).agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.count(F.lit(1)).alias("chunks"),
+        F.sum("n_chunk_tokens").alias("tokens")).collect()
+        if strata else [])
+    card = {
+        "strata_keys": strata,
+        "strata": sorted(
+            ({**{k: r[k] for k in strata},
+              "docs": r["docs"], "chunks": r["chunks"],
+              "tokens": int(r["tokens"])} for r in card_rows),
+            key=lambda d: tuple(str(d[k]) for k in strata)),
+        "totals": {"docs": metrics["docs_kept"],
+                   "chunks": metrics["chunks"],
+                   "tokens": metrics["chunk_tokens_total"]},
+        "pipeline": {k: v for k, v in vars(args).items()
+                     if k not in ("out",)},
+    }
+    (out / "data_card.json").write_text(json.dumps(card, indent=2))
     print(json.dumps(metrics))
 
 

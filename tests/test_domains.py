@@ -270,3 +270,28 @@ def test_null_and_junk_urls_are_cap_exempt_and_unblockable(spark,
         total_junk = DO.with_domain(nulled).filter("domain = ''") \
             .count()
         assert per[""] == total_junk
+
+
+def test_job_data_card_accounts_every_stratum(spark, tmp_path):
+    import json
+    import job_curate
+    out = tmp_path / "cjob_card"
+    job_curate.main(["--sf-dir", SF, "--out", str(out),
+                     "--min-quality", "0.5", "--chunk-tokens", "32",
+                     "--overlap", "8", "--split", "train=0.8,val=0.2"])
+    card = json.loads((out / "data_card.json").read_text())
+    assert card["strata_keys"] == ["lang", "split"]
+    chunks = spark.read.parquet(str(out / "chunks"))
+    # stratum sums reconcile exactly with the written parquet
+    want = {(r.lang, r.split): (r.n, r.t) for r in
+            chunks.groupBy("lang", "split")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_chunk_tokens").alias("t")).collect()}
+    got = {(s["lang"], s["split"]): (s["chunks"], s["tokens"])
+           for s in card["strata"]}
+    assert got == want
+    assert sum(s["chunks"] for s in card["strata"]) \
+        == card["totals"]["chunks"]
+    assert sum(s["tokens"] for s in card["strata"]) \
+        == card["totals"]["tokens"]
+    assert card["pipeline"]["split"] == "train=0.8,val=0.2"
