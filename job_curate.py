@@ -63,6 +63,15 @@ def _parse_spec(s: str, flag: str) -> dict[str, float]:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--table", default="documents",
+                    choices=["documents", "pages"],
+                    help="input shape: 'documents' (doc_id, text, "
+                    "lang) or the north-star 'pages' table (url, "
+                    "warc_ts, html, text, lang) — pages are recrawl-"
+                    "deduped first (latest_crawl) and given a "
+                    "deterministic doc_id = xxhash64(canonical url); "
+                    "url rides into the chain so the domain stages "
+                    "(--block-domains/--max-per-domain) apply")
     ap.add_argument("--out", default="/tmp/curate_job")
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--langs", default=None,
@@ -135,7 +144,20 @@ def main(argv=None):
     out.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
 
-    docs = load_table(spark, args.sf_dir, "documents")
+    if args.table == "pages":
+        from osm_sidewalkreator_spark.operators import textops as TX
+        pages = load_table(spark, args.sf_dir, "pages")
+        n_raw = pages.count()
+        # recrawl dedup BEFORE anything else (the CC-index rule),
+        # then a deterministic doc key: after latest_crawl there is
+        # exactly one row per canonical url, so its hash is unique
+        canon, _dom = TX.canonicalize_url(F.col("url"))
+        docs = (TX.latest_crawl(pages)
+                .select(F.xxhash64(canon).alias("doc_id"),
+                        "url", "text", "lang"))
+    else:
+        n_raw = None
+        docs = load_table(spark, args.sf_dir, "documents")
     n_docs = docs.count()
     evals = (spark.read.parquet(args.decontaminate)
              if args.decontaminate else None)
@@ -214,6 +236,7 @@ def main(argv=None):
                         F.sum("n_chunk_tokens").alias("tok")).first())
     metrics = {
         "seconds": round(time.time() - t0, 1),
+        **({"pages_raw": n_raw} if n_raw is not None else {}),
         "docs_in": n_docs,
         "docs_after_filters": stages["filtered"].count(),
         "docs_kept": labeled.filter("is_keeper").count(),

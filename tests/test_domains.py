@@ -295,3 +295,28 @@ def test_job_data_card_accounts_every_stratum(spark, tmp_path):
     assert sum(s["tokens"] for s in card["strata"]) \
         == card["totals"]["tokens"]
     assert card["pipeline"]["split"] == "train=0.8,val=0.2"
+
+
+def test_job_curate_on_pages_table(spark, tmp_path):
+    """The north-star input shape end-to-end: pages -> recrawl dedup
+    -> deterministic doc_id -> blocklist + per-domain cap -> chain."""
+    import json
+    import job_curate
+    out = tmp_path / "cjob_pages"
+    job_curate.main(["--sf-dir", SF, "--table", "pages",
+                     "--out", str(out), "--min-quality", "0.0",
+                     "--chunk-tokens", "32", "--overlap", "8",
+                     "--jaccard", "0.9",
+                     "--block-domains", "site1.example",
+                     "--max-per-domain", "5"])
+    m = json.loads((out / "metrics.json").read_text())
+    assert m["pages_raw"] == 10_000
+    assert 0 < m["docs_kept"] <= m["docs_in"] <= m["pages_raw"]
+    chunks = spark.read.parquet(str(out / "chunks"))
+    assert chunks.count() == m["chunks"] > 0
+    # every surviving doc_id is unique (the deterministic key is
+    # collision-free here)
+    assert chunks.select("doc_id").distinct().count() == m["docs_kept"]
+    # the per-domain cap bit hard: 1000 synth domains x 10 docs
+    # thinned to ~5 in expectation
+    assert m["docs_after_filters"] < 0.65 * m["docs_in"]
