@@ -151,6 +151,8 @@ def filter_blocklist(docs: DataFrame, blocked: DataFrame | list,
                 # junk-url pseudo-domain (a stray comma would
                 # otherwise delete every unparseable-url doc)
             norm.add(b[4:] if b.startswith("www.") else b)
+        if not norm:
+            return docs  # nothing blockable -> untouched input
         out = d.filter(~F.col("_dom").isin(sorted(norm)))
     else:
         bcol = blocked.columns[0]

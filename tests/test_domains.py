@@ -320,3 +320,8 @@ def test_job_curate_on_pages_table(spark, tmp_path):
     # the per-domain cap bit hard: 1000 synth domains x 10 docs
     # thinned to ~5 in expectation
     assert m["docs_after_filters"] < 0.65 * m["docs_in"]
+
+
+def test_empty_blocklist_is_identity(spark, docs):
+    out = DO.filter_blocklist(docs, ["", "  "])
+    assert out.count() == docs.count()
