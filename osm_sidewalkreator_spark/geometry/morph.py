@@ -169,6 +169,18 @@ class ConvexSet:
             # (a single packed [vx|vy|ex|ey|iel] gather was measured
             # ~8% SLOWER than five contiguous gathers: the strided
             # column views poison the six elementwise passes)
+            # Affine edge-line form: signed depth of point p to edge
+            # line = (ex*(py-vy) - ey*(px-vx)) * iel
+            #      = px*A + py*B + C  with A=-ey*iel, B=ex*iel,
+            #        C=(ey*vx - ex*vy)*iel.
+            # Precomputing (A, B, C) turns the query chunk loop from 5
+            # gathers + 6 elementwise passes into 3 gathers + 4 passes
+            # — ~40% less DRAM traffic in the measured scaling limiter
+            # (wide-leg bandwidth, BENCH/STREAM_CONTROL.json). mdir is
+            # recovered as (B, -A) at the argmin slot.
+            self._A = -self._ey * self._iel
+            self._B = self._ex * self._iel
+            self._C = (self._ey * vx - self._ex * vy) * self._iel
         else:
             self.boxes = np.empty((0, 4))
             self.bin = 1.0
@@ -233,13 +245,10 @@ class ConvexSet:
         for s0 in range(0, len(pi), step):
             cpi = pi[s0:s0 + step]
             csi = si[s0:s0 + step]
-            vx, vy = self.polys[csi, :, 0], self.polys[csi, :, 1]
-            ex, ey, iel = self._ex[csi], self._ey[csi], self._iel[csi]
-            qx = np.subtract(px[cpi][:, None], vx, out=vx)
-            qy = np.subtract(py[cpi][:, None], vy, out=vy)
-            d = np.multiply(ex, qy, out=qy)
-            d -= np.multiply(ey, qx, out=qx)
-            d *= iel
+            A, B = self._A[csi], self._B[csi]
+            d = np.multiply(A, px[cpi][:, None], out=A)
+            d += np.multiply(B, py[cpi][:, None], out=B)
+            d += self._C[csi]
             if self._has_degen:
                 d = np.where(self._degen[csi], np.inf, d)
             k = np.argmin(d, axis=1)
@@ -251,8 +260,9 @@ class ConvexSet:
             out_pi.append(cpi[keep])
             out_si.append(csi[keep])
             out_depth.append(depth[keep])
+            sk = csi[rows]
             out_mdir.append(np.column_stack(
-                [ex[rows, k] * iel[rows, k], ey[rows, k] * iel[rows, k]]))
+                [self._B[sk, k], -self._A[sk, k]]))
         if len(out_pi) == 1:
             return out_pi[0], out_si[0], out_depth[0], out_mdir[0]
         return (np.concatenate(out_pi), np.concatenate(out_si),
