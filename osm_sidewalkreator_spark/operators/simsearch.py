@@ -11,8 +11,12 @@ Embeddings schema (driver testdata): vec_id, embedding list<float>, label.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -22,6 +26,46 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+@pandas_udf(T.DoubleType())
+def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched replacement for the per-pair ``_dot`` fold.
+
+    BIT-IDENTICAL to ``aggregate(zip_with(a, b, *), 0.0, acc + v)``:
+    the accumulation below runs acc = (acc + a_i*b_i) in ascending
+    index order — the same left-fold association — and IEEE-754
+    float64 multiply/add are exactly specified, so NumPy and the JVM
+    produce the same bits. The HOF fold is interpreted per element
+    per PAIR (guide §4.1); this runs one vectorized pass per batch.
+    Unequal-length pairs yield null, matching zip_with's null
+    propagation through the fold.
+    """
+    n = len(a)
+    out = np.empty(n, dtype=np.float64)
+    la = np.fromiter((len(x) if x is not None else -1 for x in a),
+                     np.int64, n) if n else np.empty(0, np.int64)
+    lb = np.fromiter((len(x) if x is not None else -1 for x in b),
+                     np.int64, n) if n else np.empty(0, np.int64)
+    ok = (la == lb) & (la >= 0)
+    if n and ok.all() and (la == la[0]).all():
+        A = np.stack(a.values).astype(np.float64, copy=False)
+        B = np.stack(b.values).astype(np.float64, copy=False)
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc)
+    res: list = []
+    for i in range(n):
+        if not ok[i]:
+            res.append(None)
+            continue
+        acc = 0.0
+        av, bv = a.iloc[i], b.iloc[i]
+        for x, y in zip(av, bv):
+            acc = acc + float(x) * float(y)
+        res.append(acc)
+    return pd.Series(res, dtype="float64")
 
 
 def cosine_topk_bruteforce(emb: DataFrame, k: int = 5,
@@ -34,12 +78,18 @@ def cosine_topk_bruteforce(emb: DataFrame, k: int = 5,
     Ties broken by candidate id; similarity rounded to 9 decimals so an
     independent evaluator (the DuckDB oracle) ranks identically.
     """
+    # per-vector norm computed ONCE per row (identical `_norm`
+    # expression on identical input -> bit-identical doubles); the old
+    # form re-evaluated both norms inside every candidate PAIR, which
+    # tripled the interpreted higher-order-function work (guide §4.1)
     e = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
+    e = e.select("vec_id", "v", _norm(F.col("v")).alias("nv"))
     q = e.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0) \
-         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nv").alias("qn"))
     j = q.crossJoin(e).filter(F.col("vec_id") != F.col("query_id"))
-    sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    sim = _pair_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv"))
     j = j.withColumn("cosine", F.round(sim, 9))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
@@ -87,6 +137,42 @@ def _plane_weight_matrix(spark, n_seeds: int, dim: int) -> list:
     return _WEIGHTS_CACHE[key]
 
 
+def _bucket_udf(W: list, n_tables: int, n_planes: int):
+    """Arrow-batched LSH bucket ids: replaces the per-row JVM
+    ``transform(lit(W), aggregate(zip_with(...)))`` matmul, which
+    evaluated n_tables*n_planes*dim interpreted lambda steps PER ROW
+    (guide §4.1/§4.2).
+
+    BIT-IDENTICAL bucketing: the sign accumulator below adds
+    (v_i * w_si) in ascending i order — the same left fold as the
+    ``aggregate`` expression — and the weights are exact small
+    integers, so the IEEE-754 float64 sums (hence the > 0 signs,
+    hence the bucket ids) match the JVM bit for bit.
+    """
+    Wt = np.asarray(W, dtype=np.float64)          # (S, dim)
+    S, dim = Wt.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.values).astype(np.float64, copy=False)
+        acc = np.zeros((n, S), dtype=np.float64)
+        for i in range(dim):
+            acc = acc + V[:, i:i + 1] * Wt[:, i][None, :]
+        signs = (acc > 0).astype(np.int32)
+        buckets = np.zeros((n, n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            bk = np.zeros(n, dtype=np.int32)
+            for r in range(n_planes):
+                bk = bk * 2 + signs[:, t * n_planes + r]
+            buckets[:, t] = bk
+        return pd.Series(list(buckets))
+
+    return _buckets
+
+
 def cosine_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50,
                     n_planes: int = 6, n_tables: int = 10,
                     dim: int = 64, max_bucket: int = 4096,
@@ -128,23 +214,12 @@ def cosine_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50,
     e = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
     W = _plane_weight_matrix(emb.sparkSession, n_tables * n_planes, dim)
-    # one pass: all n_tables*n_planes signs from a single 2-D literal,
-    # then fold each table's n_planes bits into its bucket id. `sigs`
-    # is materialized as a projected column first so the bucket fold
-    # reads it instead of inlining the whole sign computation per table
-    # (a computed array referenced inside a lambda re-evaluates per
-    # element).
-    sigs = F.transform(F.lit(W), lambda wrow: (F.aggregate(
-        F.zip_with(F.col("v"), wrow, lambda x, y: x * y),
-        F.lit(0.0), lambda a, b: a + b) > 0).cast("int"))
-    withsig = e.select("vec_id", sigs.alias("_sigs"))
-    buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(n_tables - 1)),
-        lambda t: F.aggregate(
-            F.slice(F.col("_sigs"), t * n_planes + 1, n_planes),
-            F.lit(0), lambda a, b: a * 2 + b))
-    banded = withsig.select("vec_id", F.posexplode(buckets)
-                            .alias("tbl", "bucket"))
+    # all n_tables bucket ids in ONE Arrow-batched NumPy pass
+    # (bit-identical fold order — see _bucket_udf); the previous JVM
+    # expression interpreted 60x64 lambda steps per row and, being
+    # referenced by both join sides below, ran twice per vector
+    banded = e.select("vec_id", F.posexplode(_bucket_udf(
+        W, n_tables, n_planes)(F.col("v"))).alias("tbl", "bucket"))
     # per-table hot-bucket cap as a window over the SAME (tbl, bucket)
     # partitioning the candidate join needs: the filter preserves the
     # exchange, so cap + join cost one shuffle and the two join sides
@@ -167,9 +242,13 @@ def cosine_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50,
     cand = (qb.join(banded, ["tbl", "bucket"])
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id").distinct())
-    qv = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    j = cand.join(qv, "query_id").join(e, "vec_id")
-    sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    # per-vector norms once, Arrow-batched pair dot (bit-identical to
+    # the per-pair HOF fold — see _pair_dot / cosine_topk_bruteforce)
+    en = e.select("vec_id", "v", _norm(F.col("v")).alias("nv"))
+    qv = en.select(F.col("vec_id").alias("query_id"),
+                   F.col("v").alias("qv"), F.col("nv").alias("qn"))
+    j = cand.join(qv, "query_id").join(en, "vec_id")
+    sim = _pair_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv"))
     j = j.withColumn("cosine", F.round(sim, 9))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
@@ -218,17 +297,10 @@ def embedding_neardup_dedup(emb: DataFrame, threshold: float = 0.35,
     if use_lsh:
         W = _plane_weight_matrix(emb.sparkSession, n_tables * n_planes,
                                  dim)
-        sigs = F.transform(F.lit(W), lambda wrow: (F.aggregate(
-            F.zip_with(F.col("v"), wrow, lambda x, y: x * y),
-            F.lit(0.0), lambda a, b: a + b) > 0).cast("int"))
-        withsig = e.select("vec_id", sigs.alias("_sigs"))
-        buckets = F.transform(
-            F.sequence(F.lit(0), F.lit(n_tables - 1)),
-            lambda t: F.aggregate(
-                F.slice(F.col("_sigs"), t * n_planes + 1, n_planes),
-                F.lit(0), lambda a, b: a * 2 + b))
-        banded = withsig.select("vec_id", F.posexplode(buckets)
-                                .alias("tbl", "bucket"))
+        # Arrow-batched bucket ids, bit-identical to the JVM fold
+        # (see _bucket_udf)
+        banded = e.select("vec_id", F.posexplode(_bucket_udf(
+            W, n_tables, n_planes)(F.col("v"))).alias("tbl", "bucket"))
         wb = Window.partitionBy("tbl", "bucket")
         banded = (banded.withColumn("_bn", F.count("*").over(wb))
                   .filter(F.col("_bn") <= max_bucket).drop("_bn"))
@@ -242,13 +314,16 @@ def embedding_neardup_dedup(emb: DataFrame, threshold: float = 0.35,
         b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
         cand = a.crossJoin(b).filter(F.col("ia") < F.col("ib")) \
             .select("ia", "ib")
+    en = e.select("vec_id", "v", _norm(F.col("v")).alias("nv"))
     pairs = (cand
-             .join(e.select(F.col("vec_id").alias("ia"),
-                            F.col("v").alias("va")), "ia")
-             .join(e.select(F.col("vec_id").alias("ib"),
-                            F.col("v").alias("vb")), "ib"))
-    sim = _dot(F.col("va"), F.col("vb")) \
-        / (_norm(F.col("va")) * _norm(F.col("vb")))
+             .join(en.select(F.col("vec_id").alias("ia"),
+                             F.col("v").alias("va"),
+                             F.col("nv").alias("na")), "ia")
+             .join(en.select(F.col("vec_id").alias("ib"),
+                             F.col("v").alias("vb"),
+                             F.col("nv").alias("nb")), "ib"))
+    sim = _pair_dot(F.col("va"), F.col("vb")) \
+        / (F.col("na") * F.col("nb"))
     dups = (pairs.filter(F.round(sim, 9) >= threshold)
             .select(F.col("ib").alias("vec_id")).distinct())
     return emb.join(dups, "vec_id", "left_anti")
@@ -457,14 +532,21 @@ def cosine_topk_quantized(emb: DataFrame, k: int = 5, query_mod: int = 50,
     approximate.
     """
     q8 = quantize_embeddings(emb, bits=bits)
-    q = q8.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0) \
-          .select(F.col("vec_id").alias("query_id"),
-                  F.col("qvec").alias("qa"))
-    j = q.crossJoin(q8.select("vec_id", F.col("qvec").alias("qb"))) \
+    # per-vector integer self-dot (the norm term) once per row instead
+    # of per pair; the pair dot crosses via the Arrow-batched fold.
+    # Integer dots are exactly representable in float64 (|dot| <=
+    # qmax^2 * dim << 2^53), so every reassociation is EXACT here —
+    # sqrt/divide/round then match bit for bit.
+    q8n = q8.select("vec_id", "qvec",
+                    F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+                    .alias("qn"))
+    q = q8n.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0) \
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("qvec").alias("qa"), F.col("qn").alias("na"))
+    j = q.crossJoin(q8n.select("vec_id", F.col("qvec").alias("qb"),
+                               F.col("qn").alias("nb"))) \
          .filter(F.col("vec_id") != F.col("query_id"))
-    dot = _dot(F.col("qa"), F.col("qb"))
-    sim = dot / (F.sqrt(_dot(F.col("qa"), F.col("qa")))
-                 * F.sqrt(_dot(F.col("qb"), F.col("qb"))))
+    sim = _pair_dot(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))
     j = j.withColumn("cosine", F.round(sim, 9))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())

@@ -165,3 +165,24 @@ def test_cc_larger_graph_matches_union_find(spark):
     got = {(r["node"], r["component"])
            for r in connected_components(spark.createDataFrame(pdf)).collect()}
     assert got == want
+
+
+def test_distributed_path_matches_driver_fast_path(spark, monkeypatch):
+    """r06: CC gained a broadcast-scale driver fast path; force the
+    distributed star rounds (threshold=0) and pin label equality on a
+    graph with chains, a hub, and singleton-free random edges."""
+    from osm_sidewalkreator_spark.operators import graph as G
+    rng = np.random.default_rng(7)
+    m, n = 5_000, 2_000
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    pdf = pd.DataFrame({"a": a[keep], "b": b[keep]}).astype("int64")
+    fast = {(r["node"], r["component"])
+            for r in connected_components(
+                spark.createDataFrame(pdf)).collect()}
+    monkeypatch.setattr(G, "_CC_DRIVER_MAX_EDGES", 0)
+    dist = {(r["node"], r["component"])
+            for r in connected_components(
+                spark.createDataFrame(pdf)).collect()}
+    assert dist == fast
