@@ -11,8 +11,10 @@ Documents schema (driver testdata): doc_id, text, lang, source, n_chars.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "data")
 
@@ -35,22 +37,34 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def _shingles(col, n: int = 3):
-    """Word n-gram shingles via zip_with over shifted slices.
+    """Distinct word-3-gram shingles of ``col``, first-occurrence order.
 
-    zip_with evaluates its array inputs ONCE per row; the previous
-    transform(sequence, i -> element_at(split(...), i+k)) form inlined
-    the tokenizer into the lambda, re-splitting the document per shingle
-    element (O(tokens^2) interpreted string work per row — measured 15x
-    the whole minhash runtime at sf0.1)."""
+    Arrow-batched construction (r06): the previous JVM form —
+    zip_with-concat over shifted slices plus array_distinct — was
+    interpreted per TOKEN per row and cost ~0.6 s per corpus pass at
+    sf0.1 (three passes per minhash run). The Python construction below
+    reproduces its semantics exactly: split on a single space with
+    trailing empties kept (Java ``split(re, -1)`` == ``str.split(" ")``),
+    "t1 t2 t3" joining, and ``array_distinct``'s keep-first-occurrence
+    dedup (``dict.fromkeys``). Null text -> null array, < n tokens ->
+    empty array, both as before."""
     assert n == 3, "engine shingle op is fixed at word-3-grams"
-    toks = F.split(col, " ")
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    s1 = F.slice(toks, 1, m)
-    s2 = F.slice(toks, 2, m)
-    s3 = F.slice(toks, 3, m)
-    pair = F.zip_with(s1, s2, lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.array_distinct(
-        F.zip_with(pair, s3, lambda xy, z: F.concat(xy, F.lit(" "), z)))
+
+    @pandas_udf("array<string>")
+    def _sh3(texts: pd.Series) -> pd.Series:
+        out = []
+        join = " ".join
+        fromkeys = dict.fromkeys
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.split(" ")
+            out.append(list(fromkeys(
+                map(join, zip(toks, toks[1:], toks[2:])))))
+        return pd.Series(out)
+
+    return _sh3(col)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,

@@ -113,16 +113,72 @@ def street_segments_tm(streets: DataFrame) -> DataFrame:
 
     Geometry arrives as EPSG:4326 WKB; reproject (P3) then explode (the
     per-vertex dedup of G14 collapses the duplicate-vertex fixtures as a
-    zero-length-segment drop inside ``explode_polyline_to_segments``).
+    zero-length-segment drop, same rule as
+    ``explode_polyline_to_segments``).
+
+    One fused ``mapInPandas`` stage does decode -> batched projection ->
+    vectorized segment construction. The previous chain (scalar
+    transform UDF re-ENCODING WKB, a second UDF re-DECODING it into
+    per-segment Python dicts, then a JVM explode of the struct array)
+    crossed the Python boundary twice and built a dict per segment
+    (guide §4.1/§4.2). ``tm_forward`` is elementwise, so projecting the
+    batch-concatenated coordinate array yields bit-identical floats.
     """
-    tm = streets.withColumn(
-        "geom_tm", make_transform_udf(CITY_LON0, CITY_LAT0, True)("geometry"))
-    seg = tm.withColumn("seg", F.explode(st_explode_segments("geom_tm")))
-    seg = seg.select(
-        "osm_id", "highway", F.col("width_m").alias("width"),
-        "sidewalk", "sidewalk_left", "sidewalk_right", "sidewalk_both",
-        F.col("seg.ax").alias("ax"), F.col("seg.ay").alias("ay"),
-        F.col("seg.bx").alias("bx"), F.col("seg.by").alias("by"))
+    attrs = ["osm_id", "highway", "width_m", "sidewalk", "sidewalk_left",
+             "sidewalk_right", "sidewalk_both"]
+    src = streets.select(*attrs, "geometry")
+    fields = [src.schema[c] for c in attrs[:1]] + [
+        T.StructField("highway", T.StringType()),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("sidewalk", T.StringType()),
+        T.StructField("sidewalk_left", T.StringType()),
+        T.StructField("sidewalk_right", T.StringType()),
+        T.StructField("sidewalk_both", T.StringType()),
+        T.StructField("ax", T.DoubleType()),
+        T.StructField("ay", T.DoubleType()),
+        T.StructField("bx", T.DoubleType()),
+        T.StructField("by", T.DoubleType()),
+    ]
+    schema = T.StructType(fields)
+    out_cols = ["osm_id", "highway", "width", "sidewalk", "sidewalk_left",
+                "sidewalk_right", "sidewalk_both"]
+    in_cols = attrs
+
+    def explode_tm(batches):
+        from ..geometry.projection import tm_forward
+        empty = pd.DataFrame({c: [] for c in
+                              out_cols + ["ax", "ay", "bx", "by"]})
+        for pdf in batches:
+            row_idx: list[int] = []
+            parts: list[np.ndarray] = []
+            for i, blob in enumerate(pdf["geometry"]):
+                for p in wkb.decode_lines(bytes(blob)):
+                    row_idx.append(i)
+                    parts.append(p)
+            if not parts:
+                yield empty
+                continue
+            flat = np.vstack(parts)
+            x, y = tm_forward(flat[:, 0], flat[:, 1], CITY_LON0, CITY_LAT0)
+            nv = np.fromiter((len(p) for p in parts), np.int64, len(parts))
+            ends = np.cumsum(nv)
+            sel = np.ones(len(flat), dtype=bool)
+            sel[ends - 1] = False          # each part's last vertex
+            ai = np.flatnonzero(sel)
+            ax_, ay_ = x[ai], y[ai]
+            bx_, by_ = x[ai + 1], y[ai + 1]
+            keep = (ax_ != bx_) | (ay_ != by_)   # G14 zero-length drop
+            rows = np.repeat(np.asarray(row_idx, np.int64), nv - 1)[keep]
+            data = {}
+            for src_c, out_c in zip(in_cols, out_cols):
+                data[out_c] = pdf[src_c].to_numpy()[rows]
+            data["ax"] = ax_[keep]
+            data["ay"] = ay_[keep]
+            data["bx"] = bx_[keep]
+            data["by"] = by_[keep]
+            yield pd.DataFrame(data)
+
+    seg = src.mapInPandas(explode_tm, schema)
     # pre-split long segments into <=MAX_PIECE chunks (JVM column math):
     # a km-long way must not land whole in every tile its bbox covers —
     # its PIECES have tight bboxes, so tiling stays O(length/tile), not
@@ -420,17 +476,56 @@ def load_context_tiled(spark: SparkSession, sf_dir: str,
     Addresses double as the splitting POIs (reference merges building
     centroids and address points, osm_sidewalkreator.py:2908-2931).
     """
-    from ..functions.geo import st_explode_boundary_segments
     synth = ensure_synth(sf_dir)
     buildings = spark.read.parquet(str(synth / "buildings.parquet"))
-    bsegs = (buildings
-             .withColumn("seg", F.explode(
-                 st_explode_boundary_segments("geometry")))
-             .select(F.lit("bseg").alias("ckind"),
-                     F.col("seg.ax").alias("ax"), F.col("seg.ay").alias("ay"),
-                     F.col("seg.bx").alias("bx"), F.col("seg.by").alias("by"),
-                     F.lit(None).cast("string").alias("cid"),
-                     F.lit(None).cast("double").alias("clen")))
+
+    # fused decode + boundary-segment explode (same motivation and
+    # same zero-length-drop rule as street_segments_tm): the previous
+    # scalar UDF built a Python dict per segment and round-tripped an
+    # array-of-struct column through a JVM explode
+    bseg_schema = T.StructType([
+        T.StructField("ckind", T.StringType()),
+        T.StructField("ax", T.DoubleType()),
+        T.StructField("ay", T.DoubleType()),
+        T.StructField("bx", T.DoubleType()),
+        T.StructField("by", T.DoubleType()),
+        T.StructField("cid", T.StringType()),
+        T.StructField("clen", T.DoubleType()),
+    ])
+
+    def explode_boundaries(batches):
+        cols = ["ckind", "ax", "ay", "bx", "by", "cid", "clen"]
+        empty = pd.DataFrame({c: [] for c in cols})
+        for pdf in batches:
+            rings: list[np.ndarray] = []
+            for blob in pdf["geometry"]:
+                for rr in wkb.decode_polygons(bytes(blob)):
+                    for r in rr:
+                        closed = (r if np.array_equal(r[0], r[-1])
+                                  else np.vstack([r, r[:1]]))
+                        rings.append(closed)
+            if not rings:
+                yield empty
+                continue
+            flat = np.vstack(rings)
+            nv = np.fromiter((len(r) for r in rings), np.int64, len(rings))
+            ends = np.cumsum(nv)
+            sel = np.ones(len(flat), dtype=bool)
+            sel[ends - 1] = False
+            ai = np.flatnonzero(sel)
+            ax_, ay_ = flat[ai, 0], flat[ai, 1]
+            bx_, by_ = flat[ai + 1, 0], flat[ai + 1, 1]
+            keep = (ax_ != bx_) | (ay_ != by_)
+            n = int(keep.sum())
+            yield pd.DataFrame({
+                "ckind": np.full(n, "bseg", dtype=object),
+                "ax": ax_[keep], "ay": ay_[keep],
+                "bx": bx_[keep], "by": by_[keep],
+                "cid": np.full(n, None, dtype=object),
+                "clen": np.full(n, np.nan)})
+
+    bsegs = buildings.select("geometry").mapInPandas(
+        explode_boundaries, bseg_schema)
     addrs = spark.read.parquet(str(synth / "addresses.parquet")) \
         .select(F.lit("poi").alias("ckind"),
                 F.col("x").alias("ax"), F.col("y").alias("ay"),
@@ -499,6 +594,10 @@ def generate_features(spark: SparkSession, sf_dir: str,
     # the bbox prefilter above prunes whole features, this cuts geometry
     aoi = spark.read.parquet(str(ensure_synth(sf_dir) / "aoi.parquet"))
     segs = clip_segments_to_rect(segs, aoi)
+    # project away columns the tile kernel never reads (highway only
+    # routes width assignment, which already happened) — opaque
+    # cogroups ship every column they are handed (guide §2.3/§4.1)
+    segs = segs.drop("highway")
     tiled = segs.withColumn(
         "tile", F.explode(cover_cells(
             F.least("ax", "bx"), F.least("ay", "by"),
