@@ -383,17 +383,32 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 
 def word_ngram_array(col, n: int):
     """All word ``n``-grams of ``col`` (space-tokenized) as an array
-    Column — the shared shifted-slice ``zip_with`` builder behind
-    ``dup_ngram_expr`` and ``decontaminate`` (one implementation so a
-    tokenization fix cannot silently diverge them). Empty array when
-    the doc has fewer than ``n`` tokens."""
-    toks = F.split(col, " ")
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    parts = [F.slice(toks, i + 1, m) for i in range(n)]
-    g = parts[0]
-    for p in parts[1:]:
-        g = F.zip_with(g, p, lambda x, y: F.concat(x, F.lit(" "), y))
-    return g
+    Column — the shared builder behind ``dup_ngram_expr``,
+    ``decontaminate``, the bigram LM and repeated-span removal (one
+    implementation so a tokenization fix cannot silently diverge
+    them). Empty array when the doc has fewer than ``n`` tokens,
+    null for null text.
+
+    Arrow-batched (r06): the previous chain of n-1 interpreted
+    ``zip_with``/``concat`` passes dominated the repeated-span and LM
+    walls at n=8/n=2; the Python construction reproduces it exactly
+    (``str.split(" ")`` == Java ``split(re, -1)``; same gram strings,
+    order, and duplicates)."""
+
+    @pandas_udf("array<string>")
+    def _ngrams(texts: pd.Series) -> pd.Series:
+        out = []
+        join = " ".join
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.split(" ")
+            out.append([join(g) for g in
+                        zip(*(toks[i:] for i in range(n)))])
+        return pd.Series(out)
+
+    return _ngrams(col)
 
 
 def dup_ngram_expr(k: int = 3):
