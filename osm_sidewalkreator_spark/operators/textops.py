@@ -621,14 +621,18 @@ def remove_repeated_spans(docs: DataFrame, span_tokens: int = 50,
         "doc_id",
         F.posexplode(word_ngram_array(F.col("text"), span_tokens))
          .alias("p", "gram"))
-    repeated = (grams.groupBy("gram")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") >= min_count)
-                .select("gram"))
-    flagged = (grams.join(repeated, "gram")
+    # one count window over the gram partitioning replaces the old
+    # groupBy + join-back: the gram stream is built and shuffled ONCE
+    # (the join re-ran the posexplode and shuffled the full stream a
+    # second time), and the subsequent row_number reuses the same
+    # exchange. count(*) over the full partition == the group count,
+    # so flagged positions are identical.
+    wg = Window.partitionBy("gram")
+    flagged = (grams
+               .withColumn("_n", F.count(F.lit(1)).over(wg))
+               .filter(F.col("_n") >= min_count)
                .withColumn("_rn", F.row_number().over(
-                   Window.partitionBy("gram")
-                         .orderBy("doc_id", "p")))
+                   wg.orderBy("doc_id", "p")))
                .filter(F.col("_rn") <= max_positions_per_gram)
                .select("doc_id", "p"))
 
