@@ -544,18 +544,23 @@ def load_context_tiled(spark: SparkSession, sf_dir: str,
             tile_size, pad=halo)))
 
 
+import collections
 import threading
 
-_CACHED: list[DataFrame] = []
+_CACHED: "collections.OrderedDict[int, DataFrame]" = \
+    collections.OrderedDict()
 _CACHE_LOCK = threading.Lock()
-# plans cached by the latest N generate_features calls stay persisted;
-# older ones are released. N=2 covers the documented concurrent-caller
-# shape (two unevaluated feature plans held at once) while keeping
-# bench warm-up + timed loops from accumulating storage. Each returned
-# plan also carries its own handle (``df._sw_cache``) so a caller
-# holding MORE than N unevaluated plans can re-persist or manage
-# lifetimes explicitly.
-_CACHE_KEEP = 2
+# plans cached by the latest generate_features calls stay persisted;
+# older ones are released. Keyed by ``semanticHash`` (r06): Spark's
+# CacheManager dedupes identical logical plans into ONE shared entry,
+# so the previous FIFO list evicted a re-pushed plan's handle and
+# thereby dropped the cache the NEWER identical plan relied on
+# (repeat 3+ of a bench loop silently recomputed the scan). Re-pushing
+# a semantically equal plan now just refreshes its LRU slot. N=4
+# covers two concurrent generate_features calls x (tiled + ctx).
+# Each returned plan also carries its own handle (``df._sw_cache``)
+# so a caller holding more plans can manage lifetimes explicitly.
+_CACHE_KEEP = 4
 
 
 def release_cached() -> None:
@@ -564,14 +569,18 @@ def release_cached() -> None:
     loop)."""
     with _CACHE_LOCK:
         while _CACHED:
-            _CACHED.pop().unpersist()
+            _CACHED.popitem()[1].unpersist()
 
 
 def _cache_push(df: DataFrame) -> None:
+    key = df.semanticHash()
     with _CACHE_LOCK:
-        _CACHED.append(df)
+        if key in _CACHED:
+            _CACHED.move_to_end(key)
+            return
+        _CACHED[key] = df
         while len(_CACHED) > _CACHE_KEEP:
-            _CACHED.pop(0).unpersist()
+            _CACHED.popitem(last=False)[1].unpersist()
 
 
 def generate_features(spark: SparkSession, sf_dir: str,
@@ -625,10 +634,16 @@ def generate_features(spark: SparkSession, sf_dir: str,
         # exploded segments (the census would otherwise re-run the
         # whole upstream scan+clip+explode as a second pass). The cache
         # must outlive this call (the cogroup plan executes later):
-        # a bounded FIFO keeps the latest _CACHE_KEEP plans persisted
-        # and releases older ones (see _cache_push).
+        # a bounded LRU keeps the latest _CACHE_KEEP plans persisted
+        # and releases older ones (see _cache_push). ctx joins the same
+        # mechanism (r06): it is recomputed identically by every
+        # feature-plan execution, and its subtree crosses the Python
+        # boundary (WKB decode), so steady-state runs should reuse it
+        # exactly like the segment side.
         tiled = tiled.persist()
         _cache_push(tiled)
+        ctx = ctx.persist()
+        _cache_push(ctx)
     cached = tiled if use_lpt else None
     mapping = _lpt_bucket_map(spark, tiled, n_part) if use_lpt else None
     if mapping is None:     # planet-sized tile census: hash placement
