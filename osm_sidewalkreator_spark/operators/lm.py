@@ -73,8 +73,6 @@ def bigram_nll(docs: DataFrame,
     erroring. Same scale shape either way: counts collapse map-side,
     scoring joins the bigram stream against one-row-per-bigram tables.
     """
-    bi = _doc_bigrams(docs).withColumn(
-        "w1", F.substring_index(F.col("bg"), " ", 1))
     cb = bigram_counts(docs if train is None else train)
     cu = cb.groupBy(F.substring_index(F.col("bg"), " ", 1).alias("w1")) \
            .agg(F.sum("cb").alias("cu"))
@@ -82,9 +80,24 @@ def bigram_nll(docs: DataFrame,
         F.substring_index(F.col("bg"), " ", -1))).collect()[0][0]
     term = F.log((F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
                  / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(float(v))))
-    scored = (bi.join(cb, "bg", "left")
-                .join(cu, "w1", "left")
-                .select("doc_id", "pos", term.alias("term")))
+    if train is None:
+        # self-trained: every scored bigram exists in the model by
+        # construction, so the context count can ride on the model
+        # table (one vocab-sized join) and the corpus bigram stream
+        # shuffles ONCE instead of once per lookup table (guide §2.4)
+        bi = _doc_bigrams(docs)
+        cbu = cb.withColumn("w1", F.substring_index(F.col("bg"), " ", 1)) \
+                .join(cu, "w1").select("bg", "cb", "cu")
+        scored = (bi.join(cbu, "bg", "left")
+                    .select("doc_id", "pos", term.alias("term")))
+    else:
+        # cross-trained: a scored bigram can miss cb while its context
+        # w1 still exists in train — the two lookups stay independent
+        bi = _doc_bigrams(docs).withColumn(
+            "w1", F.substring_index(F.col("bg"), " ", 1))
+        scored = (bi.join(cb, "bg", "left")
+                    .join(cu, "w1", "left")
+                    .select("doc_id", "pos", term.alias("term")))
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.array_sort(F.collect_list(F.struct("pos", "term")))
