@@ -158,29 +158,35 @@ class ConvexSet:
             # precompute edge geometry (padded polygons may contain
             # zero-length edges: neutralized via +inf depth)
             vx, vy = self.polys[:, :, 0], self.polys[:, :, 1]
-            self._ex = np.roll(vx, -1, axis=1) - vx
-            self._ey = np.roll(vy, -1, axis=1) - vy
-            el = np.hypot(self._ex, self._ey)
+            ex = np.roll(vx, -1, axis=1) - vx
+            ey = np.roll(vy, -1, axis=1) - vy
+            el = np.hypot(ex, ey)
             self._degen = el == 0
             self._has_degen = bool(self._degen.any())
-            self._el = np.where(self._degen, 1.0, el)
-            self._iel = 1.0 / self._el   # multiply beats divide in the
-            # (pairs x nverts) depth matrix, the kernel's hottest loop
-            # (a single packed [vx|vy|ex|ey|iel] gather was measured
-            # ~8% SLOWER than five contiguous gathers: the strided
-            # column views poison the six elementwise passes)
+            iel = 1.0 / np.where(self._degen, 1.0, el)
             # Affine edge-line form: signed depth of point p to edge
             # line = (ex*(py-vy) - ey*(px-vx)) * iel
             #      = px*A + py*B + C  with A=-ey*iel, B=ex*iel,
             #        C=(ey*vx - ex*vy)*iel.
-            # Precomputing (A, B, C) turns the query chunk loop from 5
-            # gathers + 6 elementwise passes into 3 gathers + 4 passes
-            # — ~40% less DRAM traffic in the measured scaling limiter
-            # (wide-leg bandwidth, BENCH/STREAM_CONTROL.json). mdir is
-            # recovered as (B, -A) at the argmin slot.
-            self._A = -self._ey * self._iel
-            self._B = self._ex * self._iel
-            self._C = (self._ey * vx - self._ex * vy) * self._iel
+            # Precomputing (A, B, C) keeps the query chunk loop at 3
+            # gathers + 4 elementwise passes — the fewest DRAM-bound
+            # passes of the forms measured (wide-leg bandwidth is the
+            # scaling limiter, BENCH/STREAM_CONTROL.json). mdir is
+            # recovered as (B, -A) at the argmin slot. Only A/B/C (+
+            # the degenerate-edge mask) are retained; the intermediate
+            # edge vectors are locals so per-set precompute memory is
+            # 3 planes, not 7.
+            # NUMERICAL ASSUMPTION: the affine form's absolute error
+            # grows with |p| (no translate-to-edge-origin cancellation
+            # protection). It is safe because all inputs are
+            # AOI-centered local-TM meters (|p| ~ 1e4); a caller
+            # feeding large-offset coordinates (e.g. UTM false
+            # eastings, |p| ~ 1e6) would erode the EPS_ON margin.
+            # tests/test_convexset_affine.py pins the margin at TM
+            # magnitudes.
+            self._A = -ey * iel
+            self._B = ex * iel
+            self._C = (ey * vx - ex * vy) * iel
         else:
             self.boxes = np.empty((0, 4))
             self.bin = 1.0

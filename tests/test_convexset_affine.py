@@ -19,14 +19,21 @@ from osm_sidewalkreator_spark.geometry.noding import SNAP
 
 
 def _depth_direct(cset, px, py, pi, si):
-    """Reference: the pre-affine translate-then-cross formula."""
-    vx, vy = cset.polys[si, :, 0], cset.polys[si, :, 1]
-    ex, ey, iel = cset._ex[si], cset._ey[si], cset._iel[si]
+    """Reference: the pre-affine translate-then-cross formula, derived
+    from the public polygon array (the intermediate edge vectors are no
+    longer retained on the instance)."""
+    polys = cset.polys[si]
+    vx, vy = polys[:, :, 0], polys[:, :, 1]
+    ex = np.roll(vx, -1, axis=1) - vx
+    ey = np.roll(vy, -1, axis=1) - vy
+    el = np.hypot(ex, ey)
+    degen = el == 0
+    iel = 1.0 / np.where(degen, 1.0, el)
     qx = px[pi][:, None] - vx
     qy = py[pi][:, None] - vy
     d = (ex * qy - ey * qx) * iel
-    if cset._has_degen:
-        d = np.where(cset._degen[si], np.inf, d)
+    if degen.any():
+        d = np.where(degen, np.inf, d)
     return d
 
 
