@@ -621,14 +621,24 @@ def generate_features(spark: SparkSession, sf_dir: str,
     # core keeps the heavy-tailed tile costs load-balanced (measured
     # best at sf0.1); SPARK_GRAFT_NPART pins it for A/B scaling runs.
     import os
-    n_part = int(os.environ.get("SPARK_GRAFT_NPART", "0")) \
-        or max(spark.sparkContext.defaultParallelism * 4, 32)
     # Cost-balanced placement: hash placement of ~uniform tiles is
     # Poisson per partition (max ~2.5x mean at 4 tiles/partition), and
     # that straggler factor IS the measured scaling residual. LPT over
     # the per-tile segment census into hash-aligned buckets makes every
     # partition carry a near-equal load. Costs one cheap count pass.
     use_lpt = os.environ.get("SPARK_GRAFT_LPT", "1") != "0"
+    # Partitions per core: with LPT the balance is explicit, so 2
+    # buckets/core suffice and halve the per-task Python round-trip
+    # overhead (interleaved A/B at sf0.1: 6.2-6.3 s vs 7.5-7.6 s at
+    # 4/core); hash placement keeps 4/core because its balance comes
+    # only from Poisson granularity. Both scale with the cluster via
+    # defaultParallelism; SPARK_GRAFT_NPART pins for A/B runs. (The
+    # rare LPT->hash fallback above the census cap inherits 2/core —
+    # acceptable: that path is planet-scale, where tiles/partition is
+    # huge and Poisson imbalance vanishes.)
+    mult = 2 if use_lpt else 4
+    n_part = int(os.environ.get("SPARK_GRAFT_NPART", "0")) \
+        or max(spark.sparkContext.defaultParallelism * mult, 32)
     if use_lpt:
         # census + kernel input share one computation of the clipped/
         # exploded segments (the census would otherwise re-run the
