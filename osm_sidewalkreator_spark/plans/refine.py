@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import params as P
-from ..geometry import core, noding, voronoi
+from ..geometry import core, gridhash, noding, voronoi
 from . import kernels
 
 
@@ -142,24 +142,49 @@ def snap_lines_to_reference(lines: list[np.ndarray], ref_segs: np.ndarray,
     ll_safe = np.where(ll == 0, 1.0, ll)
     if behavior == 1 and line_owners is None:
         # hot path (the in-pipeline J11 pass): all vertices, no owner
-        # masking — skip the vidx indirection of the generic modes
-        out = []
-        for ln in lines:
-            px = ln[:, 0][:, None]
-            py = ln[:, 1][:, None]
-            t = ((px - ax) * dx + (py - ay) * dy) / ll_safe
-            t = np.where(ll == 0, 0.0, np.clip(t, 0.0, 1.0))
-            cx = ax + t * dx
-            cy = ay + t * dy
-            d = np.hypot(px - cx, py - cy)
-            k = np.argmin(d, axis=1)
-            rows = np.arange(len(ln))
-            snapped = ln.copy()
-            hit = d[rows, k] <= tol
-            snapped[hit, 0] = cx[rows, k][hit]
-            snapped[hit, 1] = cy[rows, k][hit]
-            out.append(snapped)
-        return out
+        # masking. r06: one flat grid-hash candidate join over ALL
+        # lines' vertices vs tol-padded segment boxes replaces the
+        # per-line dense (vertices x all-ref-segs) distance matrix —
+        # any segment farther than tol cannot snap, so the prefilter
+        # is a superset of every possible hit. Distances use the
+        # identical formula per (vertex, segment) pair, and the
+        # (vertex, d, segment-index) lexsort reproduces np.argmin's
+        # lowest-index-among-ties rule, so snapped outputs are
+        # bit-identical to the dense scan.
+        if not lines:
+            return lines
+        counts = np.fromiter((len(l) for l in lines), np.int64,
+                             len(lines))
+        flat = np.concatenate(lines)
+        px_f, py_f = flat[:, 0], flat[:, 1]
+        boxes = np.column_stack([
+            np.minimum(ref_segs[:, 0], ref_segs[:, 2]) - tol,
+            np.minimum(ref_segs[:, 1], ref_segs[:, 3]) - tol,
+            np.maximum(ref_segs[:, 0], ref_segs[:, 2]) + tol,
+            np.maximum(ref_segs[:, 1], ref_segs[:, 3]) + tol])
+        ext = np.maximum(boxes[:, 2] - boxes[:, 0],
+                         boxes[:, 3] - boxes[:, 1])
+        bin_size = max(float(np.median(ext)), tol, 1e-9)
+        pi, si = gridhash.join_points_to_boxes(px_f, py_f, boxes,
+                                               bin_size)
+        snapped_flat = flat.copy()
+        if len(pi):
+            t = ((px_f[pi] - ax[si]) * dx[si]
+                 + (py_f[pi] - ay[si]) * dy[si]) / ll_safe[si]
+            t = np.where(ll[si] == 0, 0.0, np.clip(t, 0.0, 1.0))
+            cx = ax[si] + t * dx[si]
+            cy = ay[si] + t * dy[si]
+            d = np.hypot(px_f[pi] - cx, py_f[pi] - cy)
+            order = np.lexsort((si, d, pi))
+            pi_s = pi[order]
+            first = np.concatenate([[True], pi_s[1:] != pi_s[:-1]])
+            sel = order[first]
+            hit = d[sel] <= tol
+            vsel = pi_s[first][hit]
+            snapped_flat[vsel, 0] = cx[sel][hit]
+            snapped_flat[vsel, 1] = cy[sel][hit]
+        ends = np.cumsum(counts)
+        return [snapped_flat[e - c:e] for c, e in zip(counts, ends)]
     if behavior in (0, 5):
         if ref_nodes is None:
             ref_nodes = np.concatenate([ref_segs[:, :2], ref_segs[:, 2:]])
