@@ -64,7 +64,14 @@ def _shingles(col, n: int = 3):
                 map(join, zip(toks, toks[1:], toks[2:])))))
         return pd.Series(out)
 
-    return _sh3(col)
+    # asNondeterministic: every consumer filters size(sh) > 0 directly
+    # on this column, and the optimizer's filter pushdown then evaluates
+    # the UDF twice per subtree — once below the pushed filter, once in
+    # the surviving projection (two ArrowEvalPython nodes per scan;
+    # minhash_lsh_pairs paid 4 corpus passes where 2 suffice,
+    # accumulator-verified 20000 -> 10000 rows at sf0.1). The function
+    # is pure, so blocking reorder/duplication changes no results.
+    return _sh3.asNondeterministic()(col)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
