@@ -68,28 +68,91 @@ def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(res, dtype="float64")
 
 
+def _blockwise_pair_dots(idx: DataFrame, q: DataFrame) -> DataFrame:
+    """All (query, index) pair dots + both norms via a cogrouped
+    block kernel — the "move heavy bytes once" shape (guide §8) for
+    the all-pairs baselines.
+
+    The crossJoin form shipped BOTH 2 KB vectors through Arrow for
+    every candidate pair (~2 GB per run at sf0.1); here each index
+    vector crosses the Python boundary once and only (query_id,
+    vec_id, dot, qn, nv) rows — a few dozen bytes each — come back.
+    Queries are replicated to every group as ROWS (a corpus-fraction
+    table, never collected to the driver), the index side is
+    hash-grouped by vec_id into ``defaultParallelism`` blocks (group
+    count affects parallelism only, never values).
+
+    BIT-IDENTICAL to the crossJoin/_pair_dot/_norm form: the kernel
+    accumulates the dot and both self-dots in ascending dimension
+    order — the same left-fold association as ``aggregate``'s
+    acc + v — and IEEE-754 float64 ops are exactly specified, so dots
+    and norms match the JVM bit for bit (for int codes every
+    reassociation is exact anyway: |dot| <= qmax^2 * dim << 2^53).
+
+    idx: (vec_id, v); q: (query_id, qv). Returns (query_id, vec_id,
+    dot, qn, nv) for EVERY pair including vec_id == query_id —
+    callers filter, exactly as they filtered the crossJoin.
+    """
+    spark = idx.sparkSession
+    n_groups = max(int(spark.sparkContext.defaultParallelism), 1)
+    left = idx.withColumn(
+        "g", F.pmod(F.col("vec_id"), F.lit(n_groups)).cast("int"))
+    groups = spark.range(n_groups).select(F.col("id").cast("int").alias("g"))
+    right = q.crossJoin(groups)
+
+    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "dot": pd.Series(dtype="float64"),
+                "qn": pd.Series(dtype="float64"),
+                "nv": pd.Series(dtype="float64")})
+        X = np.stack(lpdf["v"].values).astype(np.float64, copy=False)
+        Q = np.stack(rpdf["qv"].values).astype(np.float64, copy=False)
+        m, dim = X.shape
+        nq = Q.shape[0]
+        accx = np.zeros(m)
+        accq = np.zeros(nq)
+        dot = np.zeros((nq, m))
+        for i in range(dim):
+            xi = X[:, i]
+            qi = Q[:, i]
+            accx = accx + xi * xi
+            accq = accq + qi * qi
+            dot = dot + qi[:, None] * xi[None, :]
+        return pd.DataFrame({
+            "query_id": np.repeat(rpdf["query_id"].values, m),
+            "vec_id": np.tile(lpdf["vec_id"].values, nq),
+            "dot": dot.ravel(),
+            "qn": np.repeat(np.sqrt(accq), m),
+            "nv": np.tile(np.sqrt(accx), nq)})
+
+    return (left.groupBy("g").cogroup(right.groupBy("g"))
+            .applyInPandas(kernel,
+                           "query_id long, vec_id long, dot double, "
+                           "qn double, nv double"))
+
+
 def cosine_topk_bruteforce(emb: DataFrame, k: int = 5,
                            query_mod: int = 50) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
-    Queries = vec_id % query_mod == 0 (deterministic subset). The
-    candidate side is broadcast when small; at scale this becomes the
-    block-nested-loop baseline you replace with the LSH variant.
+    Queries = vec_id % query_mod == 0 (deterministic subset). Pair
+    dots come from the cogrouped block kernel (_blockwise_pair_dots):
+    still the quadratic block-nested-loop baseline you replace with
+    the LSH variant at scale, but the heavy vector bytes cross the
+    Python boundary once instead of once per pair.
     Ties broken by candidate id; similarity rounded to 9 decimals so an
     independent evaluator (the DuckDB oracle) ranks identically.
     """
-    # per-vector norm computed ONCE per row (identical `_norm`
-    # expression on identical input -> bit-identical doubles); the old
-    # form re-evaluated both norms inside every candidate PAIR, which
-    # tripled the interpreted higher-order-function work (guide §4.1)
     e = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
-    e = e.select("vec_id", "v", _norm(F.col("v")).alias("nv"))
     q = e.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0) \
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("v").alias("qv"), F.col("nv").alias("qn"))
-    j = q.crossJoin(e).filter(F.col("vec_id") != F.col("query_id"))
-    sim = _pair_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv"))
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    j = _blockwise_pair_dots(e, q).filter(
+        F.col("vec_id") != F.col("query_id"))
+    sim = F.col("dot") / (F.col("qn") * F.col("nv"))
     j = j.withColumn("cosine", F.round(sim, 9))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
@@ -532,21 +595,17 @@ def cosine_topk_quantized(emb: DataFrame, k: int = 5, query_mod: int = 50,
     approximate.
     """
     q8 = quantize_embeddings(emb, bits=bits)
-    # per-vector integer self-dot (the norm term) once per row instead
-    # of per pair; the pair dot crosses via the Arrow-batched fold.
+    # the cogrouped block kernel computes integer pair dots and the
+    # per-vector self-dot norms in one boundary crossing per vector.
     # Integer dots are exactly representable in float64 (|dot| <=
     # qmax^2 * dim << 2^53), so every reassociation is EXACT here —
     # sqrt/divide/round then match bit for bit.
-    q8n = q8.select("vec_id", "qvec",
-                    F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-                    .alias("qn"))
-    q = q8n.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0) \
-           .select(F.col("vec_id").alias("query_id"),
-                   F.col("qvec").alias("qa"), F.col("qn").alias("na"))
-    j = q.crossJoin(q8n.select("vec_id", F.col("qvec").alias("qb"),
-                               F.col("qn").alias("nb"))) \
-         .filter(F.col("vec_id") != F.col("query_id"))
-    sim = _pair_dot(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))
+    e = q8.select("vec_id", F.col("qvec").alias("v"))
+    q = e.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0) \
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    j = _blockwise_pair_dots(e, q).filter(
+        F.col("vec_id") != F.col("query_id"))
+    sim = F.col("dot") / (F.col("qn") * F.col("nv"))
     j = j.withColumn("cosine", F.round(sim, 9))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
