@@ -115,12 +115,15 @@ def _blockwise_pair_dots(idx: DataFrame, q: DataFrame) -> DataFrame:
         accx = np.zeros(m)
         accq = np.zeros(nq)
         dot = np.zeros((nq, m))
+        # in-place += is the same IEEE add in the same ascending-i
+        # order as the allocating form; it just avoids a fresh
+        # (nq, m) temporary per dimension
         for i in range(dim):
             xi = X[:, i]
             qi = Q[:, i]
-            accx = accx + xi * xi
-            accq = accq + qi * qi
-            dot = dot + qi[:, None] * xi[None, :]
+            accx += xi * xi
+            accq += qi * qi
+            dot += qi[:, None] * xi[None, :]
         return pd.DataFrame({
             "query_id": np.repeat(rpdf["query_id"].values, m),
             "vec_id": np.tile(lpdf["vec_id"].values, nq),
