@@ -158,12 +158,17 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
 
 def train_bpe_on_corpus(docs: DataFrame, n_merges: int = 200,
                         col: str = "text",
-                        max_words: int | None = None
+                        max_words: int | None = 1_000_000
                         ) -> list[tuple[str, str]]:
     """End-to-end convenience: distributed counts -> driver merges.
     ``max_words`` keeps only the most frequent words (deterministic
     (n DESC, word ASC) order) — the standard bound when distinct
-    words are unbounded at corpus scale."""
+    words are unbounded at corpus scale. Bounded BY DEFAULT: at web
+    scale distinct "words" (URLs, hashes, CJK runs) are unbounded and
+    an uncapped collect is a driver OOM; 1e6 words × ~tens of bytes
+    is broadcast-scale. Corpora with fewer distinct words are
+    unaffected (the top-k covers the whole table). Pass
+    ``max_words=None`` to opt out explicitly."""
     wc = bpe_word_counts(docs, col)
     if max_words is not None:
         wc = (wc.orderBy(F.col("n").desc(), F.col("word").asc())

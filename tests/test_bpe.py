@@ -142,3 +142,30 @@ def test_bpe_encode_null_text_yields_zero_tokens(spark):
             for r in B.bpe_encode(df, [("t", "h")]).collect()}
     assert rows[2] == ([], 0)        # not the stringified 'None'
     assert rows[1][1] > 0
+
+
+def test_train_on_corpus_default_word_budget_is_bounded():
+    # the default path must never collect an unbounded distinct-word
+    # table to the driver (r5 verdict: at web scale distinct "words"
+    # are unbounded); None stays available as an explicit opt-out
+    import inspect
+    default = inspect.signature(
+        B.train_bpe_on_corpus).parameters["max_words"].default
+    assert default is not None
+    assert default <= 1_000_000
+
+
+def test_train_on_corpus_word_budget_truncation_exact(spark, docs):
+    # merges under a budget smaller than the distinct-word count must
+    # equal merges trained on the manually truncated (n DESC, word ASC)
+    # head — pins that the bound is deterministic, not a sample
+    k = 12
+    wc = B.bpe_word_counts(docs)
+    assert wc.count() > k  # budget actually truncates on this corpus
+    head = sorted(((r["n"], r["word"]) for r in wc.collect()),
+                  key=lambda t: (-t[0], t[1]))[:k]
+    manual = B.bpe_train({w: n for n, w in head}, n_merges=10)
+    budget = B.train_bpe_on_corpus(docs, n_merges=10, max_words=k)
+    assert budget == manual
+    # and repeatable across invocations (same plan, same truncation)
+    assert budget == B.train_bpe_on_corpus(docs, n_merges=10, max_words=k)
